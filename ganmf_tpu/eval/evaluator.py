@@ -1,0 +1,264 @@
+"""Holdout top-K ranking evaluator.
+
+API- and protocol-compatible rebuild of the reference evaluator
+(Base/Evaluation/Evaluator.py): users with >= minRatingsPerUser test
+interactions are scored in blocks, seen items are masked out, rankings are
+truncated per cutoff and ~20 metrics are accumulated. Unlike the reference,
+scoring + ranking + per-user metrics run as one jitted device program per
+block (ganmf_tpu.eval.metrics.evaluate_batch); only finalization runs on
+host.
+
+Returns the same (results_dict, results_string) pair with identical metric
+ordering and formatting (Evaluator.py:95-110, 362-414).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from ganmf_tpu.eval.metrics import (
+    METRIC_ORDER,
+    SCALAR_FIELDS,
+    evaluate_batch,
+    finalize_counter_metrics,
+    item_novelty_terms,
+    normalized_popularity,
+)
+
+
+def get_result_string(results_run: Dict, n_decimals: int = 7) -> str:
+    """Reference-identical result formatting (Evaluator.py:95-110)."""
+    output = ""
+    for cutoff in results_run.keys():
+        output += "CUTOFF: {} - ".format(cutoff)
+        for metric, value in results_run[cutoff].items():
+            output += "{}: {:.{n_decimals}f}, ".format(metric, value, n_decimals=n_decimals)
+        output += "\n"
+    return output
+
+
+class _BaseEvaluator:
+    EVALUATOR_NAME = "Evaluator_Base_Class"
+
+    def __init__(
+        self,
+        URM_test,
+        cutoff_list: Sequence[int],
+        minRatingsPerUser: int = 1,
+        exclude_seen: bool = True,
+        diversity_object=None,
+        ignore_items=None,
+        ignore_users=None,
+    ):
+        if isinstance(URM_test, list):
+            raise ValueError("List of URM_test not supported")
+
+        self.URM_test = sps.csr_matrix(URM_test).copy()
+        self.URM_test.eliminate_zeros()
+        self.cutoff_list = list(cutoff_list)
+        self.max_cutoff = max(self.cutoff_list)
+        self.minRatingsPerUser = minRatingsPerUser
+        self.exclude_seen = exclude_seen
+        self.diversity_object = diversity_object
+
+        self.n_users, self.n_items = self.URM_test.shape
+
+        self.ignore_items_flag = ignore_items is not None
+        self.ignore_items_ID = np.asarray(ignore_items if ignore_items is not None else [], dtype=np.int64)
+        self.ignore_users_ID = np.asarray(ignore_users if ignore_users is not None else [], dtype=np.int64)
+
+        n_ratings = np.ediff1d(self.URM_test.indptr)
+        mask = n_ratings >= minRatingsPerUser
+        users = np.arange(self.n_users)[mask]
+        if len(self.ignore_users_ID):
+            users = np.array(sorted(set(users.tolist()) - set(self.ignore_users_ID.tolist())))
+        self.usersToEvaluate = list(users)
+
+        # device-resident dense test ratings (block-gathered during eval)
+        self._test_dense = jnp.asarray(np.asarray(self.URM_test.todense(), dtype=np.float32))
+        self._n_pos = jnp.asarray(n_ratings.astype(np.int32))
+
+        if len(self.ignore_items_ID):
+            ign = jnp.zeros((self.n_items,), dtype=bool).at[jnp.asarray(self.ignore_items_ID)].set(True)
+            self._ignore_items_mask = ign
+        else:
+            self._ignore_items_mask = None
+
+    # -- model interface -----------------------------------------------------
+
+    def _score_block(self, model, user_ids: np.ndarray) -> jnp.ndarray:
+        """[B, I] device scores with seen/custom-item masking applied."""
+        uids = jnp.asarray(user_ids, dtype=jnp.int32)
+        if hasattr(model, "score_device"):
+            scores = model.score_device(uids)
+        else:
+            scores = jnp.asarray(
+                np.asarray(model._compute_item_score(np.asarray(user_ids)), dtype=np.float32)
+            )
+        if self.exclude_seen:
+            seen = model.device_train_mask()  # [U, I] bool on device
+            scores = jnp.where(jnp.take(seen, uids, axis=0), -jnp.inf, scores)
+        if self._ignore_items_mask is not None:
+            scores = jnp.where(self._ignore_items_mask[None, :], -jnp.inf, scores)
+        return scores
+
+    # -- candidate restriction hook (negative-sample evaluator) ---------------
+
+    def _restrict_candidates(self, scores: jnp.ndarray, user_ids: np.ndarray) -> jnp.ndarray:
+        return scores
+
+    # -- main entry ------------------------------------------------------------
+
+    def evaluateRecommender(self, recommender_object):
+        if self.ignore_items_flag and hasattr(recommender_object, "set_items_to_ignore"):
+            recommender_object.set_items_to_ignore(self.ignore_items_ID)
+
+        urm_train = recommender_object.get_URM_train()
+        novelty_terms = jnp.asarray(item_novelty_terms(urm_train, self.n_items), dtype=jnp.float32)
+        pop_norm = jnp.asarray(normalized_popularity(urm_train), dtype=jnp.float32)
+
+        block_size = int(min(1000, max(1, 1e8 / max(self.n_items, 1))))
+        users = np.asarray(self.usersToEvaluate, dtype=np.int64)
+        n_eval = len(users)
+        cutoffs = tuple(self.cutoff_list)
+
+        scalar_acc = np.zeros((len(cutoffs), len(SCALAR_FIELDS)), dtype=np.float64)
+        counter_acc = np.zeros((len(cutoffs), self.n_items), dtype=np.float64)
+        diversity_values = [0.0] * len(cutoffs)
+
+        start = 0
+        while start < n_eval:
+            chunk = users[start : start + block_size]
+            pad = block_size - len(chunk)
+            uids = np.concatenate([chunk, np.zeros(pad, dtype=np.int64)]) if pad else chunk
+            valid = np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]) if pad else np.ones(len(chunk), bool)
+
+            scores = self._score_block(recommender_object, uids)
+            scores = self._restrict_candidates(scores, uids)
+
+            uids_j = jnp.asarray(uids, dtype=jnp.int32)
+            stats = evaluate_batch(
+                scores,
+                jnp.take(self._test_dense, uids_j, axis=0),
+                jnp.take(self._n_pos, uids_j),
+                jnp.asarray(valid),
+                novelty_terms,
+                pop_norm,
+                cutoffs=cutoffs,
+                max_cutoff=self.max_cutoff,
+            )
+            scalar_acc += np.asarray(stats.scalars, dtype=np.float64)
+            counter_acc += np.asarray(stats.counters, dtype=np.float64)
+
+            if self.diversity_object is not None:
+                self._accumulate_diversity(diversity_values, scores, valid, cutoffs)
+
+            start += block_size
+
+        return self._finalize(scalar_acc, counter_acc, diversity_values, n_eval, recommender_object)
+
+    def _accumulate_diversity(self, diversity_values, scores, valid, cutoffs):
+        """Intra-list diversity from a user-provided item diversity matrix
+        (metrics.py:405-458). Host-side; only runs when requested."""
+        M = self.diversity_object
+        top_idx = np.asarray(jax.lax.top_k(scores, self.max_cutoff)[1])
+        top_val = np.asarray(jax.lax.top_k(scores, self.max_cutoff)[0])
+        for ci, c in enumerate(cutoffs):
+            for b in range(top_idx.shape[0]):
+                if not valid[b]:
+                    continue
+                items = top_idx[b][: c][np.isfinite(top_val[b][: c])]
+                L = len(items)
+                if L <= 1:
+                    continue
+                total = 0.0
+                for pos in range(L - 1):
+                    row = np.array(M[items[pos], items]).ravel().astype(np.float64)
+                    row[pos] = 0.0
+                    total += row.sum()
+                diversity_values[ci] += total / (L * (L - 1))
+
+    def _finalize(self, scalar_acc, counter_acc, diversity_values, n_eval, recommender_object):
+        results_dict: Dict[int, Dict[str, float]] = {}
+        n_ignore_items = len(self.ignore_items_ID)
+        n_ignore_users = len(self.ignore_users_ID)
+
+        for ci, cutoff in enumerate(self.cutoff_list):
+            sums = dict(zip(SCALAR_FIELDS, scalar_acc[ci]))
+            counters = finalize_counter_metrics(
+                counter_acc[ci],
+                n_users_eval=n_eval,
+                cutoff=cutoff,
+                n_items=self.n_items,
+                n_ignore_items=n_ignore_items,
+                ignore_items=self.ignore_items_ID,
+            )
+
+            res: Dict[str, float] = {}
+            for metric in METRIC_ORDER:
+                if metric == "F1":
+                    res[metric] = 0.0
+                elif metric in sums:
+                    res[metric] = sums[metric] / n_eval if n_eval else 0.0
+                elif metric == "COVERAGE_USER":
+                    res[metric] = (sums["_COVERED_USERS"] / (self.n_users - n_ignore_users)) if self.n_users else 0.0
+                elif metric in counters:
+                    res[metric] = counters[metric]
+                if metric == "NDCG" and self.diversity_object is not None:
+                    # DIVERSITY_SIMILARITY sits between RMSE-group metrics in
+                    # the reference enum; inserted in its enum position below.
+                    pass
+            if self.diversity_object is not None:
+                # insert in enum order: after AVERAGE_POPULARITY
+                ordered = {}
+                for k, v in res.items():
+                    ordered[k] = v
+                    if k == "AVERAGE_POPULARITY":
+                        ordered["DIVERSITY_SIMILARITY"] = diversity_values[ci] / n_eval if n_eval else 0.0
+                res = ordered
+
+            precision_, recall_ = res["PRECISION"], res["RECALL"]
+            if precision_ + recall_ != 0:
+                res["F1"] = 2 * (precision_ * recall_) / (precision_ + recall_)
+
+            results_dict[cutoff] = res
+
+        if n_eval == 0:
+            print("WARNING: No users had a sufficient number of relevant items")
+
+        if self.ignore_items_flag and hasattr(recommender_object, "reset_items_to_ignore"):
+            recommender_object.reset_items_to_ignore()
+
+        return results_dict, get_result_string(results_dict)
+
+
+class EvaluatorHoldout(_BaseEvaluator):
+    """Evaluates on every item (reference EvaluatorHoldout, Evaluator.py:214)."""
+
+    EVALUATOR_NAME = "EvaluatorHoldout"
+
+
+class EvaluatorNegativeItemSample(_BaseEvaluator):
+    """Ranks only each user's test items plus a fixed negative sample
+    (reference Evaluator.py:419-620)."""
+
+    EVALUATOR_NAME = "EvaluatorNegativeItemSample"
+
+    def __init__(self, URM_test, URM_test_negative, cutoff_list, **kwargs):
+        super().__init__(URM_test, cutoff_list, **kwargs)
+        negative = sps.csr_matrix(URM_test_negative)
+        candidates = (self.URM_test + negative).tocsr()
+        candidates.data = np.ones_like(candidates.data)
+        self._candidate_mask = jnp.asarray(
+            np.asarray(candidates.todense()) != 0
+        )
+
+    def _restrict_candidates(self, scores: jnp.ndarray, user_ids: np.ndarray) -> jnp.ndarray:
+        mask = jnp.take(self._candidate_mask, jnp.asarray(user_ids, dtype=jnp.int32), axis=0)
+        return jnp.where(mask, scores, -jnp.inf)

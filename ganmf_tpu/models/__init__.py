@@ -1,0 +1,18 @@
+from ganmf_tpu.models.base import (
+    Recommender,
+    MatrixFactorizationRecommender,
+    ItemSimilarityRecommender,
+    UserSimilarityRecommender,
+)
+from ganmf_tpu.models.toppop import TopPop, Random, GlobalEffects
+from ganmf_tpu.models.puresvd import PureSVDRecommender
+from ganmf_tpu.models.ials import IALSRecommender
+from ganmf_tpu.models.itemknn import ItemKNNCFRecommender, UserKNNCFRecommender
+from ganmf_tpu.models.p3alpha import P3alphaRecommender, RP3betaRecommender
+from ganmf_tpu.models.slim_bpr import SLIM_BPR
+from ganmf_tpu.models.ganmf import GANMF
+from ganmf_tpu.models.disganmf import DisGANMF
+from ganmf_tpu.models.cfgan import CFGAN
+from ganmf_tpu.models.caae import CAAE
+
+GAN_MODELS = (GANMF, DisGANMF, CFGAN, CAAE)

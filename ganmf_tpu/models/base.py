@@ -1,0 +1,307 @@
+"""Recommender base classes.
+
+The serving/eval contract follows the reference BaseRecommender
+(Base/BaseRecommender.py:14-247): a recommender holds a CSR ``URM_train``,
+produces a dense score block for a batch of users, and ``recommend()``
+masks seen items, ranks and strips removed entries. Here the scoring path
+is a device program (``score_device``), rankings use ``lax.top_k`` and the
+dense URM is cached in HBM once per model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from ganmf_tpu.data.device import DeviceURM
+from ganmf_tpu.utils.dataio import DataIO
+
+
+def check_matrix(X, format: str = "csc", dtype=np.float32):
+    """Format/dtype coercion (reference Base/Recommender_utils.py:13-45)."""
+    if isinstance(X, np.ndarray):
+        X = sps.csr_matrix(X, dtype=dtype)
+        X.eliminate_zeros()
+    converters = {
+        "csc": sps.csc_matrix,
+        "csr": sps.csr_matrix,
+        "coo": sps.coo_matrix,
+        "dok": sps.dok_matrix,
+        "lil": sps.lil_matrix,
+    }
+    cls = converters[format]
+    if not isinstance(X, cls):
+        X = cls(X)
+    return X.astype(dtype)
+
+
+def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
+    """Column-wise top-K pruning of a square similarity matrix
+    (reference Base/Recommender_utils.py:48-115). Accepts dense or sparse."""
+    assert item_weights.shape[0] == item_weights.shape[1]
+    n = item_weights.shape[1]
+    k = min(k, n)
+
+    data, rows, indptr = [], [], [0]
+    sparse_in = sps.issparse(item_weights)
+    if sparse_in:
+        W = check_matrix(item_weights, "csc", np.float32)
+    for col in range(n):
+        if sparse_in:
+            s, e = W.indptr[col], W.indptr[col + 1]
+            col_data = W.data[s:e]
+            col_rows = W.indices[s:e]
+        else:
+            col_data = np.asarray(item_weights[:, col]).ravel()
+            col_rows = np.arange(n)
+        nz = col_data != 0
+        col_data, col_rows = col_data[nz], col_rows[nz]
+        if len(col_data) > k:
+            top = np.argpartition(-col_data, k - 1)[:k]
+            col_data, col_rows = col_data[top], col_rows[top]
+        data.extend(col_data.tolist())
+        rows.extend(col_rows.tolist())
+        indptr.append(len(data))
+    return sps.csc_matrix((data, rows, indptr), shape=(n, n), dtype=np.float32)
+
+
+class Recommender:
+    RECOMMENDER_NAME = "Recommender_Base_Class"
+
+    def __init__(self, URM_train):
+        self.URM_train = check_matrix(URM_train.copy(), "csr", dtype=np.float32)
+        self.URM_train.eliminate_zeros()
+        self.n_users, self.n_items = self.URM_train.shape
+
+        self.filterTopPop = False
+        self.filterTopPop_ItemsID = np.array([], dtype=np.int64)
+        self.items_to_ignore_flag = False
+        self.items_to_ignore_ID = np.array([], dtype=np.int64)
+
+        self._cold_user_mask = np.ediff1d(self.URM_train.indptr) == 0
+        self._durm: Optional[DeviceURM] = None
+
+    # -- device caches ---------------------------------------------------------
+    def device_urm(self) -> DeviceURM:
+        if self._durm is None:
+            self._durm = DeviceURM(self.URM_train)
+        return self._durm
+
+    def device_train_mask(self) -> jnp.ndarray:
+        return self.device_urm().mask
+
+    def _invalidate_device_cache(self):
+        self._durm = None
+
+    # -- reference-compatible accessors ---------------------------------------
+    def get_URM_train(self):
+        return self.URM_train.copy()
+
+    def set_URM_train(self, URM_train_new, **kwargs):
+        assert self.URM_train.shape == URM_train_new.shape
+        self.URM_train = check_matrix(URM_train_new.copy(), "csr", dtype=np.float32)
+        self.URM_train.eliminate_zeros()
+        self._cold_user_mask = np.ediff1d(self.URM_train.indptr) == 0
+        self._invalidate_device_cache()
+
+    def _get_cold_user_mask(self):
+        return self._cold_user_mask
+
+    def set_items_to_ignore(self, items_to_ignore):
+        self.items_to_ignore_flag = True
+        self.items_to_ignore_ID = np.array(items_to_ignore, dtype=np.int64)
+
+    def reset_items_to_ignore(self):
+        self.items_to_ignore_flag = False
+        self.items_to_ignore_ID = np.array([], dtype=np.int64)
+
+    def fit(self, *args, **kwargs):
+        pass
+
+    # -- scoring ---------------------------------------------------------------
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, I] device scores for a batch of users. Subclasses override."""
+        scores = self._compute_item_score(np.asarray(user_ids))
+        return jnp.asarray(np.asarray(scores, dtype=np.float32))
+
+    def _compute_item_score(self, user_id_array, items_to_compute=None) -> np.ndarray:
+        """Numpy scoring path; default delegates to the device program."""
+        uids = jnp.asarray(np.atleast_1d(user_id_array), dtype=jnp.int32)
+        scores = np.asarray(self.score_device(uids), dtype=np.float32)
+        if items_to_compute is not None:
+            masked = np.full_like(scores, -np.inf)
+            masked[:, items_to_compute] = scores[:, items_to_compute]
+            scores = masked
+        return scores
+
+    # -- serving ---------------------------------------------------------------
+    def recommend(
+        self,
+        user_id_array,
+        cutoff: Optional[int] = None,
+        remove_seen_flag: bool = True,
+        items_to_compute=None,
+        remove_top_pop_flag: bool = False,
+        remove_CustomItems_flag: bool = False,
+        return_scores: bool = False,
+    ):
+        """Ranked recommendation lists (reference BaseRecommender.py:155-247)."""
+        if np.isscalar(user_id_array):
+            user_id_array = np.atleast_1d(user_id_array)
+            single_user = True
+        else:
+            user_id_array = np.asarray(user_id_array)
+            single_user = False
+
+        if cutoff is None:
+            cutoff = self.URM_train.shape[1] - 1
+        cutoff = min(cutoff, self.URM_train.shape[1])
+
+        scores_batch = self._compute_item_score(user_id_array, items_to_compute=items_to_compute)
+        # copy: device arrays surface as read-only numpy views
+        scores_batch = np.array(scores_batch, dtype=np.float32)
+
+        if remove_seen_flag:
+            for idx, user_id in enumerate(user_id_array):
+                seen = self.URM_train.indices[
+                    self.URM_train.indptr[user_id] : self.URM_train.indptr[user_id + 1]
+                ]
+                scores_batch[idx, seen] = -np.inf
+
+        if remove_top_pop_flag:
+            scores_batch[:, self.filterTopPop_ItemsID] = -np.inf
+        if remove_CustomItems_flag:
+            scores_batch[:, self.items_to_ignore_ID] = -np.inf
+
+        # rank on device: top_k == argpartition+argsort of the reference
+        top_idx = np.asarray(jax.lax.top_k(jnp.asarray(scores_batch), cutoff)[1])
+        ranking_list = []
+        for idx in range(len(user_id_array)):
+            row = top_idx[idx]
+            finite = np.isfinite(scores_batch[idx, row])
+            ranking_list.append(row[finite].tolist())
+
+        if single_user:
+            ranking_list = ranking_list[0]
+        if return_scores:
+            return ranking_list, scores_batch
+        return ranking_list
+
+    # -- persistence -------------------------------------------------------------
+    def _save_dict(self):
+        """Attributes persisted by saveModel; subclasses extend."""
+        return {}
+
+    def saveModel(self, folder_path, file_name=None):
+        file_name = file_name or self.RECOMMENDER_NAME
+        DataIO(folder_path).save_data(file_name, self._save_dict())
+
+    def loadModel(self, folder_path, file_name=None):
+        file_name = file_name or self.RECOMMENDER_NAME
+        data = DataIO(folder_path).load_data(file_name)
+        for name, value in data.items():
+            setattr(self, name, value)
+        return data
+
+
+class MatrixFactorizationRecommender(Recommender):
+    """Dot-product scoring from USER_factors/ITEM_factors
+    (reference Base/BaseMatrixFactorizationRecommender.py:94-143)."""
+
+    RECOMMENDER_NAME = "BaseMatrixFactorizationRecommender"
+
+    def __init__(self, URM_train):
+        super().__init__(URM_train)
+        self.USER_factors: Optional[np.ndarray] = None
+        self.ITEM_factors: Optional[np.ndarray] = None
+        self.use_bias = False
+        self._device_factors = None
+
+    def _factors_device(self):
+        if self._device_factors is None:
+            self._device_factors = (
+                jnp.asarray(np.asarray(self.USER_factors, dtype=np.float32)),
+                jnp.asarray(np.asarray(self.ITEM_factors, dtype=np.float32)),
+                jnp.asarray(self._cold_user_mask),
+            )
+        return self._device_factors
+
+    def _invalidate_device_cache(self):
+        super()._invalidate_device_cache()
+        self._device_factors = None
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        U, V, cold = self._factors_device()
+        scores = jnp.dot(jnp.take(U, user_ids, axis=0), V.T, precision=jax.lax.Precision.HIGHEST)
+        cold_batch = jnp.take(cold, user_ids)
+        return jnp.where(cold_batch[:, None], -jnp.inf, scores)
+
+    def _save_dict(self):
+        return {
+            "USER_factors": np.asarray(self.USER_factors),
+            "ITEM_factors": np.asarray(self.ITEM_factors),
+            "use_bias": bool(self.use_bias),
+        }
+
+
+class ItemSimilarityRecommender(Recommender):
+    """Scores = URM[u] @ W (reference Base/BaseSimilarityMatrixRecommender.py:73-92).
+
+    The item-item W is kept dense in HBM when it fits (fast batched matmul);
+    otherwise blocks fall back to host sparse products.
+    """
+
+    RECOMMENDER_NAME = "BaseItemSimilarityMatrixRecommender"
+    _DENSE_W_BYTE_LIMIT = 4 << 30
+
+    def __init__(self, URM_train):
+        super().__init__(URM_train)
+        self.W_sparse: Optional[sps.csr_matrix] = None
+        self._device_w = None
+
+    def _w_device(self):
+        if self._device_w is None:
+            n = self.W_sparse.shape[0]
+            if 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+                self._device_w = jnp.asarray(
+                    np.asarray(self.W_sparse.todense(), dtype=np.float32)
+                )
+            else:
+                self._device_w = False
+        return self._device_w
+
+    def _invalidate_device_cache(self):
+        super()._invalidate_device_cache()
+        self._device_w = None
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        W = self._w_device()
+        if W is False:
+            profiles = self.URM_train[np.asarray(user_ids)]
+            return jnp.asarray(profiles.dot(self.W_sparse).toarray().astype(np.float32))
+        profiles = self.device_urm().rows(user_ids)
+        return jnp.dot(profiles, W, precision=jax.lax.Precision.HIGHEST)
+
+    def _save_dict(self):
+        return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}
+
+
+class UserSimilarityRecommender(Recommender):
+    """Scores = W[u] @ URM (reference Base/BaseSimilarityMatrixRecommender.py:97-116)."""
+
+    RECOMMENDER_NAME = "BaseUserSimilarityMatrixRecommender"
+
+    def __init__(self, URM_train):
+        super().__init__(URM_train)
+        self.W_sparse: Optional[sps.csr_matrix] = None
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        weights = self.W_sparse[np.asarray(user_ids)]
+        return jnp.asarray(weights.dot(self.URM_train).toarray().astype(np.float32))
+
+    def _save_dict(self):
+        return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}

@@ -1,0 +1,318 @@
+"""CAAE: Adversarial Collaborative Auto-Encoder.
+
+Reference: GANRec/CAAE.py. Three networks: D = BPR-style MF discriminator
+over (user, pos, neg) triples with item bias (:50-81); G = sigmoid
+autoencoder trained with a REINFORCE reward on sampled items plus a masked
+reconstruction loss (:86-101); G' = a second autoencoder with a reward-only
+loss (:106-119). All three use plain SGD (:140-142).
+
+TPU redesign (the reference interleaves host-side CDF sampling with
+device updates every step, :228-337):
+  * epoch-start G/G' reconstructions of all profiles are computed once on
+    device; negative items for the D phase are drawn with
+    jax.random.categorical per d_bsize chunk inside the epoch scan
+    (equivalent to the reference's host inverse-CDF binary search,
+    GANRec/Cython/cython_utils.pyx:74-104);
+  * the G phase's weighted without-replacement sample Nu (prob ~ G'
+    softmax restricted to non-interactions, size S * |non-interactions|)
+    uses the Gumbel-top-k trick with per-user k;
+  * the whole epoch is one jitted program; the dense URM stays in HBM
+    (the reference holds it dense in host RAM, CAAE.py:199).
+
+Reference quirks preserved: gpr_layers/gpr_units are ignored and G' is
+built with g_layers/g_units (CAAE.py:136-137); G-phase users are drawn
+without replacement, G'-phase users with replacement (:270,312).
+Reference bug NOT preserved: the reference's _compute_item_score slices
+URM rows by batch position instead of by requested user id (CAAE.py:392),
+scoring the wrong users for every block after the first; here scoring
+gathers the requested users' profiles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganmf_tpu.models.gan_base import AdversarialRecommender
+
+
+class MLPParams(NamedTuple):
+    ws: Tuple[jnp.ndarray, ...]
+    bs: Tuple[jnp.ndarray, ...]
+
+
+class CAAEParams(NamedTuple):
+    d_user_emb: jnp.ndarray  # [U, K]
+    d_item_emb: jnp.ndarray  # [I, K]
+    d_item_bias: jnp.ndarray  # [I]
+    G: MLPParams
+    Gpr: MLPParams
+
+
+def _init_mlp(key, dims):
+    glorot = jax.nn.initializers.glorot_uniform()
+    keys = jax.random.split(key, len(dims) - 1)
+    ws = tuple(glorot(keys[l], (dims[l], dims[l + 1]), jnp.float32) for l in range(len(dims) - 1))
+    bs = tuple(jnp.zeros((dims[l + 1],), jnp.float32) for l in range(len(dims) - 1))
+    return MLPParams(ws, bs)
+
+
+def _autoencode(p: MLPParams, x):
+    """All layers sigmoid-activated, including the reconstruction
+    (CAAE.py:90-94)."""
+    h = x
+    for w, b in zip(p.ws, p.bs):
+        h = jax.nn.sigmoid(jnp.dot(h, w) + b)
+    return h
+
+
+def _l2(tree):
+    return sum(jnp.sum(t**2) / 2.0 for t in jax.tree_util.tree_leaves(tree))
+
+
+def _sgd(tree, grads, lr):
+    return jax.tree_util.tree_map(lambda t, g: t - lr * g, tree, grads)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d_bsize", "n_d_chunks", "d_steps", "g_steps", "gpr_steps", "m_batch", "n_samples"),
+)
+def caae_epoch(
+    params: CAAEParams,
+    urm: jnp.ndarray,  # [U, I]
+    inter_users: jnp.ndarray,  # [nnz_pad] user of each interaction
+    inter_items: jnp.ndarray,  # [nnz_pad] item of each interaction
+    inter_weight: jnp.ndarray,  # [nnz_pad] 0 for padding
+    key,
+    lr: jnp.ndarray,
+    beta: jnp.ndarray,
+    lmbda: jnp.ndarray,
+    S: jnp.ndarray,
+    d_bsize: int,
+    n_d_chunks: int,
+    d_steps: int,
+    g_steps: int,
+    gpr_steps: int,
+    m_batch: int,
+    n_samples: int,
+):
+    n_users, n_items = urm.shape
+    interacted = urm != 0
+    n_nonint = jnp.sum(~interacted, axis=1)
+
+    k_shuffle, k_d, k_g, k_gpr = jax.random.split(key, 4)
+
+    # per-epoch interaction shuffle (CAAE.py:220)
+    perm = jax.random.permutation(k_shuffle, inter_users.shape[0])
+    users = jnp.take(inter_users, perm)
+    pos_items = jnp.take(inter_items, perm)
+    weights = jnp.take(inter_weight, perm)
+
+    # epoch-start generator outputs drive all D-phase negative sampling
+    # (CAAE.py:228-241); sampling distribution = softmax(reconstruction)
+    g_logits_full = _autoencode(params.G, urm)  # [U, I]
+    gpr_logits_full = _autoencode(params.Gpr, urm)
+    gpr_prob_full = jax.nn.softmax(gpr_logits_full, axis=1)
+
+    # ---------------- D phase -------------------------------------------------
+    def d_loss_fn(d_p, u, pos, neg, w):
+        u_emb, i_emb, i_bias = d_p
+        ue = jnp.take(u_emb, u, axis=0)
+        pe = jnp.take(i_emb, pos, axis=0)
+        ne = jnp.take(i_emb, neg, axis=0)
+        pb = jnp.take(i_bias, pos)
+        nb = jnp.take(i_bias, neg)
+        x = jnp.sum(ue * (pe - ne), axis=1) + (pb - nb)
+        log_lik = jnp.sum(jax.nn.log_sigmoid(x) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        reg_rows = 0.5 * (jnp.sum(ue**2, 1) + jnp.sum(pe**2, 1) + jnp.sum(ne**2, 1) + pb**2 + nb**2)
+        return -log_lik + beta * jnp.sum(reg_rows * w)
+
+    def d_chunk_update(carry, step):
+        d_p, k = carry
+        b = (step % n_d_chunks) * d_bsize
+        u = jax.lax.dynamic_slice_in_dim(users, b, d_bsize)
+        pos = jax.lax.dynamic_slice_in_dim(pos_items, b, d_bsize)
+        w = jax.lax.dynamic_slice_in_dim(weights, b, d_bsize)
+
+        k, k1, k2 = jax.random.split(k, 3)
+        neg_g = jax.random.categorical(k1, jnp.take(g_logits_full, u, axis=0))
+        neg_gpr = jax.random.categorical(k2, jnp.take(gpr_logits_full, u, axis=0))
+
+        # one update with G negatives, one with G' negatives (CAAE.py:255-265)
+        grads = jax.grad(d_loss_fn)(d_p, u, pos, neg_g, w)
+        d_p = _sgd(d_p, grads, lr)
+        grads = jax.grad(d_loss_fn)(d_p, u, pos, neg_gpr, w)
+        d_p = _sgd(d_p, grads, lr)
+        return (d_p, k), None
+
+    d_p = (params.d_user_emb, params.d_item_emb, params.d_item_bias)
+    steps = jnp.arange(d_steps * n_d_chunks)
+    (d_p, _), _ = jax.lax.scan(d_chunk_update, (d_p, k_d), steps)
+    params = params._replace(d_user_emb=d_p[0], d_item_emb=d_p[1], d_item_bias=d_p[2])
+
+    # ---------------- helper: rewards from D ----------------------------------
+    def reward_logits(uids, items):
+        ue = jnp.take(params.d_user_emb, uids, axis=0)  # [m, K]
+        fe = jnp.take(params.d_item_emb, items, axis=0)  # [m, n, K]
+        fb = jnp.take(params.d_item_bias, items)  # [m, n]
+        return jnp.einsum("mk,mnk->mn", ue, fe) + fb
+
+    rows = jnp.arange(m_batch)
+
+    # ---------------- G phase --------------------------------------------------
+    def g_loss_fn(g_p, profiles, e_mask, reward, fake_items):
+        recon = _autoencode(g_p, profiles)
+        ae_loss = jnp.sum(((recon - profiles) * e_mask) ** 2)
+        prob = jax.nn.softmax(recon, axis=1)[rows[:, None], fake_items]
+        pg = -jnp.mean(jnp.log(jnp.maximum(prob, 1e-20)) * reward)
+        return lmbda * pg + (1.0 - lmbda) * ae_loss + beta * _l2(g_p)
+
+    def g_body(carry, k):
+        g_p = carry
+        k1, k2, k3 = jax.random.split(k, 3)
+        uids = jax.random.permutation(k1, n_users)[:m_batch]  # without replacement (CAAE.py:270)
+        profiles = jnp.take(urm, uids, axis=0)
+        seen = profiles != 0
+
+        # Nu ~ weighted sample w/o replacement from non-interactions with
+        # prob ~ G' softmax (CAAE.py:277-285); Gumbel-top-k with per-user k
+        p_gpr = jnp.take(gpr_prob_full, uids, axis=0)
+        gumbel = -jnp.log(-jnp.log(jax.random.uniform(k2, profiles.shape, minval=1e-20) + 1e-20))
+        keys = jnp.where(seen, -jnp.inf, jnp.log(jnp.maximum(p_gpr, 1e-30)) + gumbel)
+        order = jnp.argsort(-keys, axis=1)
+        ranks = jnp.argsort(order, axis=1)
+        k_u = (jnp.take(n_nonint, uids) * S).astype(jnp.int32)
+        nu = (ranks < k_u[:, None]) & (~seen)
+        e_mask = jnp.clip(profiles + nu.astype(jnp.float32), 0.0, 1.0)
+
+        g_recon = _autoencode(g_p, profiles)
+        fake_items = jax.random.categorical(k3, g_recon, axis=1, shape=(n_samples, m_batch)).T
+        reward = jax.nn.log_sigmoid(reward_logits(uids, fake_items) - 1.0)
+
+        grads = jax.grad(g_loss_fn)(g_p, profiles, e_mask, reward, fake_items)
+        return _sgd(g_p, grads, lr), None
+
+    g_p, _ = jax.lax.scan(g_body, params.G, jax.random.split(k_g, g_steps))
+    params = params._replace(G=g_p)
+
+    # ---------------- G' phase --------------------------------------------------
+    def gpr_loss_fn(gpr_p, profiles, reward, fake_items):
+        recon = _autoencode(gpr_p, profiles)
+        prob = jax.nn.softmax(recon, axis=1)[rows[:, None], fake_items]
+        return -jnp.mean(jnp.log(jnp.maximum(prob, 1e-20)) * reward) + beta * _l2(gpr_p)
+
+    def gpr_body(carry, k):
+        gpr_p = carry
+        k1, k2 = jax.random.split(k)
+        uids = jax.random.randint(k1, (m_batch,), 0, n_users)  # with replacement (CAAE.py:312)
+        profiles = jnp.take(urm, uids, axis=0)
+        recon = _autoencode(gpr_p, profiles)
+        fake_items = jax.random.categorical(k2, recon, axis=1, shape=(n_samples, m_batch)).T
+        reward = jax.nn.log_sigmoid(1.0 - reward_logits(uids, fake_items))
+        grads = jax.grad(gpr_loss_fn)(gpr_p, profiles, reward, fake_items)
+        return _sgd(gpr_p, grads, lr), None
+
+    gpr_p, _ = jax.lax.scan(gpr_body, params.Gpr, jax.random.split(k_gpr, gpr_steps))
+    params = params._replace(Gpr=gpr_p)
+
+    return params
+
+
+class CAAE(AdversarialRecommender):
+    RECOMMENDER_NAME = "CAAE"
+    SUPPORTS_ITEM_MODE = False  # the reference CAAE ignores mode (CAAE.py:25)
+
+    def fit(
+        self,
+        epochs: int = 300,
+        d_steps: int = 1,
+        g_steps: int = 1,
+        gpr_steps: int = 1,
+        g_layers: int = 1,
+        g_units: int = 20,
+        gpr_layers: int = 1,
+        gpr_units: int = 20,
+        num_factors: int = 10,
+        d_bsize: int = 1024,
+        m_batch: int = 32,
+        lmbda: float = 0.5,
+        beta: float = 1e-4,
+        lr: float = 1e-4,
+        S: float = 0.3,
+        allow_worse=None,
+        freq=None,
+        after: int = 0,
+        metrics=("MAP",),
+        sample_every=None,
+        validation_evaluator=None,
+        validation_set=None,
+    ):
+        self.config = dict(
+            epochs=epochs, d_steps=d_steps, g_steps=g_steps, gpr_steps=gpr_steps,
+            g_layers=g_layers, g_units=g_units, gpr_layers=gpr_layers, gpr_units=gpr_units,
+            num_factors=num_factors, d_bsize=d_bsize, m_batch=m_batch,
+            lmbda=lmbda, beta=beta, lr=lr, S=S,
+        )
+
+        urm_csr = self.URM_train
+        urm = jnp.asarray(np.asarray(urm_csr.todense(), dtype=np.float32))
+        nnz = urm_csr.nnz
+
+        coo = urm_csr.tocoo()
+        n_d_chunks = max(1, int(np.ceil(nnz / int(d_bsize))))
+        pad = n_d_chunks * int(d_bsize) - nnz
+        inter_users = jnp.asarray(np.concatenate([coo.row, np.zeros(pad, np.int32)]).astype(np.int32))
+        inter_items = jnp.asarray(np.concatenate([coo.col, np.zeros(pad, np.int32)]).astype(np.int32))
+        inter_weight = jnp.asarray(np.concatenate([np.ones(nnz, np.float32), np.zeros(pad, np.float32)]))
+
+        median_interactions = int(np.median(np.ediff1d(urm_csr.indptr)))
+        n_samples = max(1, 2 * median_interactions)
+
+        key = jax.random.PRNGKey(self.seed)
+        k_d, k_g, k_gpr, self._epoch_key = jax.random.split(key, 4)
+        glorot = jax.nn.initializers.glorot_uniform()
+        k_du, k_di = jax.random.split(k_d)
+        g_dims = [self.n_items] + [int(g_units)] * int(g_layers) + [self.n_items]
+        # reference builds G' with g_layers/g_units too (CAAE.py:136-137)
+        gpr_dims = g_dims
+        self.params = CAAEParams(
+            d_user_emb=glorot(k_du, (self.n_users, int(num_factors)), jnp.float32),
+            d_item_emb=glorot(k_di, (self.n_items, int(num_factors)), jnp.float32),
+            d_item_bias=jnp.zeros((self.n_items,), jnp.float32),
+            G=_init_mlp(k_g, g_dims),
+            Gpr=_init_mlp(k_gpr, gpr_dims),
+        )
+
+        m_batch_eff = int(min(m_batch, self.n_users))
+
+        def epoch_fn(epoch):
+            self._epoch_key, sub = jax.random.split(self._epoch_key)
+            self.params = caae_epoch(
+                self.params, urm, inter_users, inter_items, inter_weight, sub,
+                jnp.float32(lr), jnp.float32(beta), jnp.float32(lmbda), jnp.float32(S),
+                d_bsize=int(d_bsize), n_d_chunks=n_d_chunks,
+                d_steps=int(d_steps), g_steps=int(g_steps), gpr_steps=int(gpr_steps),
+                m_batch=m_batch_eff, n_samples=n_samples,
+            )
+            self._score_cache = None
+
+        self._score_cache = None
+        result = self._run_training_loop(
+            epochs, validation_evaluator, validation_set, sample_every,
+            allow_worse, freq, list(metrics), after, epoch_fn,
+        )
+        self._invalidate_device_cache()
+        return result
+
+    def _on_params_loaded(self):
+        self._score_cache = None
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        if getattr(self, "_score_cache", None) is None:
+            self._score_cache = _autoencode(self.params.G, self.device_urm().dense)
+        return jnp.take(self._score_cache, user_ids, axis=0)

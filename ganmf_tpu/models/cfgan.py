@@ -1,0 +1,279 @@
+"""CFGAN (CIKM'18) reimplementation.
+
+Reference: GANRec/CFGAN.py. G: MLP condition(profile) -> g_nodes^g_layers ->
+num_items (:84-108); D: MLP over concat(condition, data) -> 1 (:55-79);
+glorot-scale uniform kernel init with U(-0.01, 0.01) biases (:50,59-60).
+Masking schemes ZR/PM/ZP re-sample per-epoch negative sets per user
+(:196,230): the reference offloads this to Cython
+(GANRec/Cython/cython_utils.pyx:48-66); here the exact-k without-replacement
+sample is a vectorized rank-of-random-keys draw on device. The reference's
+compute_masks bug (zr_ratio used for the PM mask, cython_utils.pyx:62) is
+fixed: PM uses zp_ratio, both as fractions in [0, 1].
+
+    d_loss = BCE(D(cond, real) -> 1) + BCE(D(cond, G(cond) * train_mask) -> 0) + d_reg * L2(D)
+    g_loss = BCE(D(cond, fake) -> 1) + g_reg * L2(G) + zr_coefficient * mean_u(sum_i fake^2 * zr_mask)
+
+(:146-172.) The epoch (mask sampling + all D and G minibatches) is one
+jitted device program; the reference iterates users in natural order
+without shuffling (:232-288), reproduced here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganmf_tpu.models.gan_base import AdversarialRecommender, make_batches, padded_weights
+
+ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+ACTIVATIONS = {
+    "linear": lambda x: x,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "relu": jax.nn.relu,
+    "LeakyReLU": jax.nn.leaky_relu,
+}
+
+
+class MLPParams(NamedTuple):
+    ws: Tuple[jnp.ndarray, ...]
+    bs: Tuple[jnp.ndarray, ...]
+
+
+class CFGANParams(NamedTuple):
+    G: MLPParams
+    D: MLPParams
+
+
+def _init_mlp(key, dims):
+    """Uniform(-sqrt(6/(fin+fout))) kernels (= glorot uniform, CFGAN.py:59-60,
+    88-89) and U(-0.01, 0.01) biases (:50)."""
+    ws, bs = [], []
+    keys = jax.random.split(key, 2 * (len(dims) - 1))
+    for l in range(len(dims) - 1):
+        scale = np.sqrt(6.0 / (dims[l] + dims[l + 1]))
+        ws.append(jax.random.uniform(keys[2 * l], (dims[l], dims[l + 1]), jnp.float32, -scale, scale))
+        bs.append(jax.random.uniform(keys[2 * l + 1], (dims[l + 1],), jnp.float32, -0.01, 0.01))
+    return MLPParams(tuple(ws), tuple(bs))
+
+
+def _mlp(p: MLPParams, x, hidden_act):
+    act = ACTIVATIONS[hidden_act]
+    h = x
+    for l, (w, b) in enumerate(zip(p.ws, p.bs)):
+        h = jnp.dot(h, w) + b
+        if l < len(p.ws) - 1:
+            h = act(h)
+    return h
+
+
+def _bce(logits, target, w):
+    per = optax.sigmoid_binary_cross_entropy(logits[:, 0], jnp.full_like(logits[:, 0], target))
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _l2(p: MLPParams):
+    return sum(jnp.sum(t**2) / 2.0 for t in jax.tree_util.tree_leaves(p))
+
+
+def sample_negative_masks(key, urm: jnp.ndarray, zr_ratio: float, zp_ratio: float, scheme: str):
+    """Per-user exact-k without-replacement negative samples.
+
+    For each user, k_u = int(n_zeros(u) * ratio) items are drawn uniformly
+    from the user's non-interactions (cython_utils.pyx:48-66, with the
+    zp_ratio fix). Implemented as rank-of-uniform-keys: interactions get
+    +inf keys, the k_u smallest-keyed zeros are selected.
+    """
+    n_users, n_items = urm.shape
+    interacted = urm != 0
+    n_zeros = jnp.sum(~interacted, axis=1)
+
+    def draw(k, ratio):
+        keys = jax.random.uniform(k, (n_users, n_items))
+        keys = jnp.where(interacted, jnp.inf, keys)
+        order = jnp.argsort(keys, axis=1)
+        ranks = jnp.argsort(order, axis=1)
+        k_u = (n_zeros * ratio).astype(jnp.int32)
+        return (ranks < k_u[:, None]).astype(jnp.float32)
+
+    k_zr, k_pm = jax.random.split(key)
+    zr = draw(k_zr, zr_ratio) if scheme in ("ZP", "ZR") else jnp.zeros_like(urm)
+    pm = draw(k_pm, zp_ratio) if scheme in ("ZP", "PM") else jnp.zeros_like(urm)
+    return zr, pm
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scheme", "d_hidden_act", "g_hidden_act",
+        "d_n_batches", "d_batch", "g_n_batches", "g_batch", "d_steps", "g_steps",
+    ),
+)
+def cfgan_epoch(
+    params: CFGANParams, d_opt_state, g_opt_state,
+    urm: jnp.ndarray, key,
+    d_weights, g_weights,
+    d_lr, g_lr, d_reg, g_reg, zr_ratio, zp_ratio, zr_coefficient,
+    scheme, d_hidden_act, g_hidden_act,
+    d_n_batches, d_batch, g_n_batches, g_batch, d_steps, g_steps,
+):
+    n_users, n_items = urm.shape
+    zr_mask_full, pm_mask_full = sample_negative_masks(key, urm, zr_ratio, zp_ratio, scheme)
+    # train mask: profile with PM-sampled negatives flipped to 1 (CFGAN.py:242-249)
+    train_mask_full = jnp.clip(urm + pm_mask_full, 0.0, 1.0) if scheme in ("ZP", "PM") else urm
+
+    def slice_rows(mat, start, size):
+        return jax.lax.dynamic_slice_in_dim(mat, start, size, axis=0)
+
+    def d_loss_fn(d_p, g_p, cond, real, tmask, w):
+        fake = _mlp(g_p, cond, g_hidden_act) * tmask
+        d_real = _mlp(d_p, jnp.concatenate([cond, real], axis=1), d_hidden_act)
+        d_fake = _mlp(d_p, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
+        return _bce(d_real, 1.0, w) + _bce(d_fake, 0.0, w) + d_reg * _l2(d_p)
+
+    def g_loss_fn(g_p, d_p, cond, tmask, zmask, w):
+        fake_raw = _mlp(g_p, cond, g_hidden_act)
+        fake = fake_raw * tmask
+        d_fake = _mlp(d_p, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
+        zr_loss = jnp.sum(jnp.sum(fake_raw**2 * zmask, axis=1) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return _bce(d_fake, 1.0, w) + g_reg * _l2(g_p) + zr_coefficient * zr_loss
+
+    def d_body(carry, step):
+        p, state = carry
+        b = (step % d_n_batches) * d_batch
+        cond = slice_rows(urm, b, d_batch)
+        tmask = slice_rows(train_mask_full, b, d_batch)
+        w = jax.lax.dynamic_slice_in_dim(d_weights, b, d_batch)
+        grads = jax.grad(d_loss_fn)(p.D, p.G, cond, cond, tmask, w)
+        updates, state = ADAM.update(grads, state, p.D)
+        new_d = jax.tree_util.tree_map(lambda t, u: t - d_lr * u, p.D, updates)
+        return (p._replace(D=new_d), state), None
+
+    def g_body(carry, step):
+        p, state = carry
+        b = (step % g_n_batches) * g_batch
+        cond = slice_rows(urm, b, g_batch)
+        tmask = slice_rows(train_mask_full, b, g_batch)
+        zmask = slice_rows(zr_mask_full, b, g_batch)
+        w = jax.lax.dynamic_slice_in_dim(g_weights, b, g_batch)
+        grads = jax.grad(g_loss_fn)(p.G, p.D, cond, tmask, zmask, w)
+        updates, state = ADAM.update(grads, state, p.G)
+        new_g = jax.tree_util.tree_map(lambda t, u: t - g_lr * u, p.G, updates)
+        return (p._replace(G=new_g), state), None
+
+    (params, d_opt_state), _ = jax.lax.scan(d_body, (params, d_opt_state), jnp.arange(d_steps * d_n_batches))
+    (params, g_opt_state), _ = jax.lax.scan(g_body, (params, g_opt_state), jnp.arange(g_steps * g_n_batches))
+    return params, d_opt_state, g_opt_state
+
+
+class CFGAN(AdversarialRecommender):
+    RECOMMENDER_NAME = "CFGAN"
+
+    def fit(
+        self,
+        d_nodes: int = 32,
+        g_nodes: int = 32,
+        d_layers: int = 1,
+        g_layers: int = 1,
+        scheme: str = "ZR",
+        d_hidden_act: str = "linear",
+        g_hidden_act: str = "linear",
+        epochs: int = 300,
+        d_lr: float = 1e-5,
+        g_lr: float = 1e-5,
+        d_reg: float = 0,
+        g_reg: float = 0,
+        d_steps: int = 1,
+        g_steps: int = 1,
+        d_batch_size: int = 32,
+        g_batch_size: int = 32,
+        zr_ratio: float = 0.0,
+        zp_ratio: float = 0.0,
+        zr_coefficient: float = 0.0,
+        allow_worse=5,
+        freq=5,
+        after: int = 0,
+        metrics=("MAP",),
+        validation_evaluator=None,
+        sample_every=None,
+        validation_set=None,
+    ):
+        # ratios are fractions in [0, 1]; the root search space's {10..90}
+        # integers (RecSysExp.py:480-481) are percentage points — normalize.
+        if zr_ratio > 1:
+            zr_ratio = zr_ratio / 100.0
+        if zp_ratio > 1:
+            zp_ratio = zp_ratio / 100.0
+
+        self.config = dict(
+            d_nodes=d_nodes, g_nodes=g_nodes, d_layers=d_layers, g_layers=g_layers, scheme=scheme,
+            d_hidden_act=d_hidden_act, g_hidden_act=g_hidden_act, epochs=epochs, d_lr=d_lr, g_lr=g_lr,
+            d_reg=d_reg, g_reg=g_reg, d_steps=d_steps, g_steps=g_steps,
+            d_batch_size=d_batch_size, g_batch_size=g_batch_size,
+            zr_ratio=zr_ratio, zp_ratio=zp_ratio, zr_coefficient=zr_coefficient,
+        )
+
+        urm_np = np.asarray(self._train_matrix().todense(), dtype=np.float32)
+        n_rows, n_cols = urm_np.shape
+
+        d_n_batches, d_padded = make_batches(n_rows, int(d_batch_size))
+        g_n_batches, g_padded = make_batches(n_rows, int(g_batch_size))
+        padded = max(d_padded, g_padded)
+        urm = jnp.asarray(np.pad(urm_np, ((0, padded - n_rows), (0, 0))))
+        d_weights = jnp.asarray(padded_weights(n_rows, padded))
+        g_weights = d_weights
+
+        key = jax.random.PRNGKey(self.seed)
+        k_g, k_d, self._epoch_key = jax.random.split(key, 3)
+        g_dims = [n_cols] + [int(g_nodes)] * int(g_layers) + [n_cols]
+        d_dims = [2 * n_cols] + [int(d_nodes)] * int(d_layers) + [1]
+        self.params = CFGANParams(G=_init_mlp(k_g, g_dims), D=_init_mlp(k_d, d_dims))
+        self._g_hidden_act = g_hidden_act
+
+        d_state = ADAM.init(self.params.D)
+        g_state = ADAM.init(self.params.G)
+
+        def epoch_fn(epoch):
+            nonlocal d_state, g_state
+            self._epoch_key, sub = jax.random.split(self._epoch_key)
+            self.params, d_state, g_state = cfgan_epoch(
+                self.params, d_state, g_state, urm, sub, d_weights, g_weights,
+                jnp.float32(d_lr), jnp.float32(g_lr), jnp.float32(d_reg), jnp.float32(g_reg),
+                jnp.float32(zr_ratio), jnp.float32(zp_ratio), jnp.float32(zr_coefficient),
+                scheme=scheme, d_hidden_act=d_hidden_act, g_hidden_act=g_hidden_act,
+                d_n_batches=d_n_batches, d_batch=int(d_batch_size),
+                g_n_batches=g_n_batches, g_batch=int(g_batch_size),
+                d_steps=int(d_steps), g_steps=int(g_steps),
+            )
+            self._score_cache = None
+
+        self._score_cache = None
+        result = self._run_training_loop(
+            epochs, validation_evaluator, validation_set, sample_every,
+            allow_worse, freq, list(metrics), after, epoch_fn,
+        )
+        self._invalidate_device_cache()
+        return result
+
+    def _on_params_loaded(self):
+        self._score_cache = None
+
+    # -- scoring (reference CFGAN.py:342-368) ----------------------------------
+    def _full_generator_output(self) -> jnp.ndarray:
+        """G applied to every training-orientation profile."""
+        if getattr(self, "_score_cache", None) is None:
+            cond = self._train_dense()
+            self._score_cache = _mlp(self.params.G, cond, self._g_hidden_act)
+        return self._score_cache
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        out = self._full_generator_output()
+        if self.mode == "item":
+            return jnp.take(out.T, user_ids, axis=0)
+        return jnp.take(out, user_ids, axis=0)

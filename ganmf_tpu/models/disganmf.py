@@ -1,0 +1,227 @@
+"""DisGANMF: GANMF's MF generator with an MLP binary discriminator.
+
+Reference: GANRec/DisGANMF.py. D = MLP over concat(cast(user_id, f32),
+profile) with d_layers x d_nodes and a linear 1-unit output (:57-65);
+G = the same MF generator as GANMF (:70-79).
+
+    dloss = BCE(D(real) -> 1) + BCE(D(fake) -> 0) + d_reg * L2(D)
+    gloss = BCE(D(fake) -> 0) + recon_coefficient * MSE(real_feat, fake_feat)
+            + g_reg * L2(G)
+
+(:114-136 — note the generator reuses the fake->0 term verbatim; the
+feature-matching MSE carries the learning signal. Reproduced as-is.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganmf_tpu.models.gan_base import (
+    AdversarialRecommender,
+    make_batches,
+    padded_weights,
+    shuffled_padded_perm,
+)
+
+ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+ACTIVATIONS = {
+    "linear": lambda x: x,
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "sigmoid": jax.nn.sigmoid,
+    "LeakyReLU": jax.nn.leaky_relu,
+}
+
+
+class DisGANMFParams(NamedTuple):
+    user_emb: jnp.ndarray
+    item_emb: jnp.ndarray
+    d_ws: Tuple[jnp.ndarray, ...]  # hidden kernels
+    d_bs: Tuple[jnp.ndarray, ...]
+    out_w: jnp.ndarray
+    out_b: jnp.ndarray
+
+
+def _init_params(key, n_users, n_items, num_factors, d_layers, d_nodes):
+    glorot = jax.nn.initializers.glorot_uniform()
+    keys = jax.random.split(key, 3 + d_layers)
+    d_ws, d_bs = [], []
+    fan_in = n_items + 1  # concat(user_id, profile)
+    for l in range(d_layers):
+        d_ws.append(glorot(keys[2 + l], (fan_in, d_nodes), jnp.float32))
+        d_bs.append(jnp.zeros((d_nodes,), jnp.float32))
+        fan_in = d_nodes
+    return DisGANMFParams(
+        user_emb=glorot(keys[0], (n_users, num_factors), jnp.float32),
+        item_emb=glorot(keys[1], (n_items, num_factors), jnp.float32),
+        d_ws=tuple(d_ws),
+        d_bs=tuple(d_bs),
+        out_w=glorot(keys[-1], (fan_in, 1), jnp.float32),
+        out_b=jnp.zeros((1,), jnp.float32),
+    )
+
+
+def _g_params(p):
+    return (p.user_emb, p.item_emb)
+
+
+def _d_params(p):
+    return (p.d_ws, p.d_bs, p.out_w, p.out_b)
+
+
+def _discriminate(p: DisGANMFParams, uids, x, act):
+    h = jnp.concatenate([uids[:, None].astype(jnp.float32), x], axis=1)
+    for w, b in zip(p.d_ws, p.d_bs):
+        h = act(jnp.dot(h, w) + b)
+    features = h
+    out = jnp.dot(h, p.out_w) + p.out_b
+    return features, out
+
+
+def _bce(logits, target, w):
+    per = optax.sigmoid_binary_cross_entropy(logits[:, 0], jnp.full_like(logits[:, 0], target))
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _masked_mse(a, b, w):
+    return jnp.sum((a - b) ** 2 * w[:, None]) / (jnp.maximum(jnp.sum(w), 1.0) * a.shape[1])
+
+
+def _l2(tree):
+    return sum(jnp.sum(t**2) / 2.0 for t in jax.tree_util.tree_leaves(tree))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "d_hidden_act"),
+)
+def disganmf_epoch(
+    params, d_opt_state, g_opt_state, urm, perm, weights, d_lr, g_lr,
+    recon_coefficient, d_reg, g_reg,
+    n_batches, batch_size, d_steps, g_steps, d_hidden_act,
+):
+    act = ACTIVATIONS[d_hidden_act]
+
+    def get_batch(step):
+        b = step % n_batches
+        uids = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
+        w = jax.lax.dynamic_slice_in_dim(weights, b * batch_size, batch_size)
+        return uids, jnp.take(urm, uids, axis=0), w
+
+    def losses(p, uids, real, w):
+        fake = jnp.dot(jnp.take(p.user_emb, uids, axis=0), p.item_emb.T)
+        real_feat, real_out = _discriminate(p, uids, real, act)
+        fake_feat, fake_out = _discriminate(p, uids, fake, act)
+        loss_real = _bce(real_out, 1.0, w)
+        loss_fake = _bce(fake_out, 0.0, w)
+        dloss = loss_real + loss_fake + d_reg * _l2(_d_params(p))
+        gloss = loss_fake + recon_coefficient * _masked_mse(real_feat, fake_feat, w) + g_reg * _l2(_g_params(p))
+        return dloss, gloss
+
+    def d_loss_fn(d_p, p, uids, real, w):
+        p = p._replace(d_ws=d_p[0], d_bs=d_p[1], out_w=d_p[2], out_b=d_p[3])
+        return losses(p, uids, real, w)[0]
+
+    def g_loss_fn(g_p, p, uids, real, w):
+        p = p._replace(user_emb=g_p[0], item_emb=g_p[1])
+        return losses(p, uids, real, w)[1]
+
+    def d_body(carry, step):
+        p, state, acc = carry
+        uids, real, w = get_batch(step)
+        dloss, grads = jax.value_and_grad(d_loss_fn)(_d_params(p), p, uids, real, w)
+        updates, state = ADAM.update(grads, state, _d_params(p))
+        new_d = jax.tree_util.tree_map(lambda t, u: t - d_lr * u, _d_params(p), updates)
+        p = p._replace(d_ws=new_d[0], d_bs=new_d[1], out_w=new_d[2], out_b=new_d[3])
+        return (p, state, acc + dloss), None
+
+    def g_body(carry, step):
+        p, state, acc = carry
+        uids, real, w = get_batch(step)
+        gloss, grads = jax.value_and_grad(g_loss_fn)(_g_params(p), p, uids, real, w)
+        updates, state = ADAM.update(grads, state, _g_params(p))
+        new_g = jax.tree_util.tree_map(lambda t, u: t - g_lr * u, _g_params(p), updates)
+        p = p._replace(user_emb=new_g[0], item_emb=new_g[1])
+        return (p, state, acc + gloss), None
+
+    (params, d_opt_state, dl), _ = jax.lax.scan(d_body, (params, d_opt_state, 0.0), jnp.arange(d_steps * n_batches))
+    (params, g_opt_state, gl), _ = jax.lax.scan(g_body, (params, g_opt_state, 0.0), jnp.arange(g_steps * n_batches))
+    return params, d_opt_state, g_opt_state, dl / (n_batches * d_steps), gl / (n_batches * g_steps)
+
+
+class DisGANMF(AdversarialRecommender):
+    RECOMMENDER_NAME = "DisGANMF"
+
+    def fit(
+        self,
+        num_factors: int = 10,
+        d_layers: int = 1,
+        d_nodes: int = 32,
+        d_hidden_act: str = "linear",
+        epochs: int = 300,
+        batch_size: int = 32,
+        d_lr: float = 1e-4,
+        g_lr: float = 1e-4,
+        d_steps: int = 1,
+        g_steps: int = 1,
+        d_reg: float = 0,
+        g_reg: float = 0,
+        recon_coefficient: float = 1e-2,
+        allow_worse=None,
+        freq=None,
+        after: int = 0,
+        metrics=("MAP",),
+        sample_every=None,
+        validation_evaluator=None,
+        validation_set=None,
+    ):
+        self.config = dict(
+            num_factors=num_factors, d_layers=d_layers, d_nodes=d_nodes, d_hidden_act=d_hidden_act,
+            epochs=epochs, batch_size=batch_size, d_lr=d_lr, g_lr=g_lr, d_steps=d_steps,
+            g_steps=g_steps, d_reg=d_reg, g_reg=g_reg, recon_coefficient=recon_coefficient,
+        )
+        urm = self._train_dense()
+        n_rows, n_cols = urm.shape
+
+        self.params = _init_params(
+            jax.random.PRNGKey(self.seed), n_rows, n_cols, int(num_factors), int(d_layers), int(d_nodes)
+        )
+        d_state = ADAM.init(_d_params(self.params))
+        g_state = ADAM.init(_g_params(self.params))
+
+        n_batches, padded = make_batches(n_rows, int(batch_size))
+        weights = jnp.asarray(padded_weights(n_rows, padded))
+        rng = np.random.RandomState(self.seed)
+
+        def epoch_fn(epoch):
+            nonlocal d_state, g_state
+            perm = jnp.asarray(shuffled_padded_perm(rng, n_rows, padded))
+            self.params, d_state, g_state, _, _ = disganmf_epoch(
+                self.params, d_state, g_state, urm, perm, weights,
+                jnp.float32(d_lr), jnp.float32(g_lr),
+                jnp.float32(recon_coefficient), jnp.float32(d_reg), jnp.float32(g_reg),
+                n_batches=n_batches, batch_size=int(batch_size),
+                d_steps=int(d_steps), g_steps=int(g_steps), d_hidden_act=d_hidden_act,
+            )
+
+        result = self._run_training_loop(
+            epochs, validation_evaluator, validation_set, sample_every,
+            allow_worse, freq, list(metrics), after, epoch_fn,
+        )
+        self._invalidate_device_cache()
+        return result
+
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        hi = jax.lax.Precision.HIGHEST
+        if self.mode == "item":
+            return jnp.dot(jnp.take(self.params.item_emb, user_ids, axis=0),
+                           self.params.user_emb.T, precision=hi)
+        return jnp.dot(jnp.take(self.params.user_emb, user_ids, axis=0),
+                       self.params.item_emb.T, precision=hi)

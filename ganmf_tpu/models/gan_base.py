@@ -1,0 +1,145 @@
+"""Shared machinery for the adversarial recommenders (GANMF, DisGANMF,
+CFGAN, CAAE).
+
+Mirrors the reference GAN skeleton (GANRec/GANMF.py:26-255): user/item
+training modes via transposition, per-epoch d_steps/g_steps passes over
+shuffled minibatches, best-weight snapshot/restore driven by the
+EarlyStoppingScheduler, and the same fit() return convention. The epoch
+body itself is a single jitted device program per model.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganmf_tpu.models.base import Recommender
+from ganmf_tpu.models.early_stopping import EarlyStoppingScheduler
+
+
+class AdversarialRecommender(Recommender):
+    """Base for GAN recommenders with (init, epoch, score) device programs."""
+
+    RECOMMENDER_NAME = "AdversarialRecommender"
+    SUPPORTS_ITEM_MODE = True
+
+    def __init__(self, URM_train, mode: str = "user", seed: int = 1234, verbose: bool = False,
+                 is_experiment: bool = False):
+        if self.SUPPORTS_ITEM_MODE and mode not in ("user", "item"):
+            raise ValueError(f"Accepted training modes are `user` and `item`. Given was {mode}.")
+        # external orientation is always users x items; item mode transposes
+        # only the *training* view (reference transposes URM_train in place,
+        # GANMF.py:32-35 + the transpose dance around evaluation :215-228)
+        super().__init__(URM_train)
+        self.mode = mode if self.SUPPORTS_ITEM_MODE else "user"
+        self.seed = seed
+        self.verbose = verbose
+        self.is_experiment = is_experiment
+        self.config: Optional[dict] = None
+
+        self.params = None  # current trainable pytree {"G": ..., "D": ...}
+        self.best_params = None  # early-stopping snapshot
+        self._stop_training = False
+
+    # -- training-orientation helpers ---------------------------------------
+    def _train_matrix(self):
+        """CSR in training orientation (transposed for item mode)."""
+        if self.mode == "item":
+            return self.URM_train.T.tocsr()
+        return self.URM_train
+
+    def _train_dense(self) -> jnp.ndarray:
+        mat = np.asarray(self._train_matrix().todense(), dtype=np.float32)
+        return jnp.asarray(mat)
+
+    # -- early-stopping snapshot protocol (reference GANMF.py:246-255) -------
+    def stop_fit(self):
+        self._stop_training = True
+
+    def save_current_model(self):
+        self.best_params = jax.tree_util.tree_map(lambda x: x, self.params)
+
+    def load_model(self):
+        if self.best_params is not None:
+            self.params = self.best_params
+            self._on_params_loaded()
+
+    def _on_params_loaded(self):
+        pass
+
+    # -- shared epoch loop -----------------------------------------------------
+    def _run_training_loop(self, epochs, validation_evaluator, validation_set, sample_every,
+                           allow_worse, freq, metrics, after, epoch_fn):
+        """The reference's fit() driver loop (GANMF.py:151-244).
+
+        ``epoch_fn(epoch_index)`` runs one full epoch on device.
+        Returns the reference's fit() return value.
+        """
+        self._stop_training = False
+        early_stop = None
+        if validation_evaluator is not None:
+            early_stop = EarlyStoppingScheduler(
+                self, evaluator=validation_evaluator, allow_worse=allow_worse,
+                freq=freq, metrics=metrics, after=after,
+            )
+
+        epoch = 1
+        while not self._stop_training and epoch < epochs + 1:
+            epoch_fn(epoch)
+
+            if validation_set is not None and sample_every is not None and epoch % sample_every == 0:
+                _, results_string = validation_evaluator.evaluateRecommender(self)
+                if self.verbose:
+                    print(f"Epoch {epoch}:\n{results_string}")
+
+            if early_stop is not None:
+                early_stop(epoch)
+                if self._stop_training and self.verbose:
+                    print("Training stopped, epoch:", epoch)
+
+            epoch += 1
+
+        return epoch - 1 if self._stop_training else epoch
+
+    # -- persistence ----------------------------------------------------------
+    def _save_dict(self):
+        flat = {}
+        if self.params is not None:
+            leaves, treedef = jax.tree_util.tree_flatten(self.params)
+            flat["_n_leaves"] = np.asarray([len(leaves)])
+            for i, leaf in enumerate(leaves):
+                flat[f"param_{i}"] = np.asarray(leaf)
+        if self.config is not None:
+            flat["config"] = {k: v for k, v in self.config.items() if _json_safe(v)}
+        flat["mode"] = self.mode
+        return flat
+
+
+def _json_safe(v):
+    return isinstance(v, (int, float, str, bool, list, tuple, type(None)))
+
+
+def make_batches(n_rows: int, batch_size: int):
+    """Static batching plan: number of batches and padded length."""
+    n_batches = int(np.ceil(n_rows / batch_size))
+    return n_batches, n_batches * batch_size
+
+
+def shuffled_padded_perm(rng: np.random.RandomState, n_rows: int, padded: int) -> np.ndarray:
+    """Host-side per-epoch shuffle (reference np.random.shuffle,
+    GANMF.py:175); padding slots replay row 0 with zero weight."""
+    perm = np.arange(n_rows)
+    rng.shuffle(perm)
+    out = np.zeros(padded, dtype=np.int32)
+    out[:n_rows] = perm
+    return out
+
+
+def padded_weights(n_rows: int, padded: int) -> np.ndarray:
+    w = np.zeros(padded, dtype=np.float32)
+    w[:n_rows] = 1.0
+    return w

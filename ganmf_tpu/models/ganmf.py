@@ -1,0 +1,264 @@
+"""GANMF: GAN-based matrix factorization (the paper's model).
+
+Reference: GANRec/GANMF.py. Generator = plain MF (user/item embedding
+tables, fake profile u_e @ item_e^T, :75-84). Discriminator = single-hidden
+-layer autoencoder over profiles with MSE reconstruction loss (:62-70).
+
+    dloss = real_recon + max(0, m * real_recon - fake_recon) + d_reg * L2(D)
+    gloss = (1 - a) * fake_recon + a * MSE(real_enc, fake_enc) + g_reg * L2(G)
+
+(:131-135; a = recon_coefficient = feature-matching weight, EBGAN-style
+margin loss.)
+
+TPU redesign: the URM lives dense in HBM; one epoch = one jitted program
+scanning d_steps x n_batches discriminator updates then g_steps x n_batches
+generator updates over a shuffled padded permutation (the reference runs
+the same schedule with per-step host densification, GANMF.py:172-203).
+Both phases keep everything — batches, grads, Adam state — on device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ganmf_tpu.models.gan_base import (
+    AdversarialRecommender,
+    make_batches,
+    padded_weights,
+    shuffled_padded_perm,
+)
+
+
+class GANMFParams(NamedTuple):
+    user_emb: jnp.ndarray  # [U, K]
+    item_emb: jnp.ndarray  # [I, K]
+    enc_w: jnp.ndarray  # [I, E]
+    enc_b: jnp.ndarray  # [E]
+    dec_w: jnp.ndarray  # [E, I]
+    dec_b: jnp.ndarray  # [I]
+
+
+def _init_params(key, n_users, n_items, num_factors, emb_dim) -> GANMFParams:
+    glorot = jax.nn.initializers.glorot_uniform()
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return GANMFParams(
+        user_emb=glorot(k1, (n_users, num_factors), jnp.float32),
+        item_emb=glorot(k2, (n_items, num_factors), jnp.float32),
+        enc_w=glorot(k3, (n_items, emb_dim), jnp.float32),
+        enc_b=jnp.zeros((emb_dim,), jnp.float32),
+        dec_w=glorot(k4, (emb_dim, n_items), jnp.float32),
+        dec_b=jnp.zeros((n_items,), jnp.float32),
+    )
+
+
+def _g_params(p: GANMFParams):
+    return (p.user_emb, p.item_emb)
+
+
+def _d_params(p: GANMFParams):
+    return (p.enc_w, p.enc_b, p.dec_w, p.dec_b)
+
+
+def _autoencode(p: GANMFParams, x):
+    enc = jnp.dot(x, p.enc_w) + p.enc_b
+    dec = jnp.dot(enc, p.dec_w) + p.dec_b
+    return enc, dec
+
+
+def _masked_mse(a, b, w):
+    """Mean squared error over valid rows (tf.losses.mean_squared_error of
+    the reference computes a plain mean; padding rows carry zero weight)."""
+    per_elem = (a - b) ** 2 * w[:, None]
+    return jnp.sum(per_elem) / (jnp.maximum(jnp.sum(w), 1.0) * a.shape[1])
+
+
+def _l2(tensors):
+    # tf.nn.l2_loss(v) = sum(v^2) / 2
+    return sum(jnp.sum(t**2) / 2.0 for t in tensors)
+
+
+def _losses(p: GANMFParams, uids, real, w, m, recon_coefficient, d_reg, g_reg):
+    fake = jnp.dot(jnp.take(p.user_emb, uids, axis=0), p.item_emb.T)
+    real_enc, real_dec = _autoencode(p, real)
+    fake_enc, fake_dec = _autoencode(p, fake)
+    real_recon = _masked_mse(real, real_dec, w)
+    fake_recon = _masked_mse(fake, fake_dec, w)
+
+    dloss = real_recon + jnp.maximum(0.0, m * real_recon - fake_recon) + d_reg * _l2(_d_params(p))
+    gloss = (
+        (1.0 - recon_coefficient) * fake_recon
+        + recon_coefficient * _masked_mse(real_enc, fake_enc, w)
+        + g_reg * _l2(_g_params(p))
+    )
+    return dloss, gloss
+
+
+# TF1-style Adam moments; the learning rate is applied as a traced scalar so
+# tuning trials with different lrs reuse one compiled epoch program.
+ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps"),
+)
+def ganmf_epoch(
+    params: GANMFParams,
+    d_opt_state,
+    g_opt_state,
+    urm: jnp.ndarray,  # [U, I] training-orientation dense
+    perm: jnp.ndarray,  # [n_batches * batch_size] shuffled padded user ids
+    weights: jnp.ndarray,  # [n_batches * batch_size] 1 for real rows
+    d_lr: jnp.ndarray,
+    g_lr: jnp.ndarray,
+    m: float,
+    recon_coefficient: float,
+    d_reg: float,
+    g_reg: float,
+    n_batches: int,
+    batch_size: int,
+    d_steps: int,
+    g_steps: int,
+):
+    def get_batch(step):
+        b = step % n_batches
+        uids = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
+        w = jax.lax.dynamic_slice_in_dim(weights, b * batch_size, batch_size)
+        real = jnp.take(urm, uids, axis=0)
+        return uids, real, w
+
+    def d_loss_fn(d_p, p, uids, real, w):
+        p = p._replace(enc_w=d_p[0], enc_b=d_p[1], dec_w=d_p[2], dec_b=d_p[3])
+        dloss, _ = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg)
+        return dloss
+
+    def g_loss_fn(g_p, p, uids, real, w):
+        p = p._replace(user_emb=g_p[0], item_emb=g_p[1])
+        _, gloss = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg)
+        return gloss
+
+    def d_body(carry, step):
+        p, d_state, loss_acc = carry
+        uids, real, w = get_batch(step)
+        dloss, grads = jax.value_and_grad(d_loss_fn)(_d_params(p), p, uids, real, w)
+        updates, d_state = ADAM.update(grads, d_state, _d_params(p))
+        new_d = jax.tree_util.tree_map(lambda t, u: t - d_lr * u, _d_params(p), updates)
+        p = p._replace(enc_w=new_d[0], enc_b=new_d[1], dec_w=new_d[2], dec_b=new_d[3])
+        return (p, d_state, loss_acc + dloss), None
+
+    def g_body(carry, step):
+        p, g_state, loss_acc = carry
+        uids, real, w = get_batch(step)
+        gloss, grads = jax.value_and_grad(g_loss_fn)(_g_params(p), p, uids, real, w)
+        updates, g_state = ADAM.update(grads, g_state, _g_params(p))
+        new_g = jax.tree_util.tree_map(lambda t, u: t - g_lr * u, _g_params(p), updates)
+        p = p._replace(user_emb=new_g[0], item_emb=new_g[1])
+        return (p, g_state, loss_acc + gloss), None
+
+    (params, d_opt_state, d_loss_sum), _ = jax.lax.scan(
+        d_body, (params, d_opt_state, 0.0), jnp.arange(d_steps * n_batches)
+    )
+    (params, g_opt_state, g_loss_sum), _ = jax.lax.scan(
+        g_body, (params, g_opt_state, 0.0), jnp.arange(g_steps * n_batches)
+    )
+    denom = float(n_batches)
+    return params, d_opt_state, g_opt_state, d_loss_sum / (denom * d_steps), g_loss_sum / (denom * g_steps)
+
+
+class GANMF(AdversarialRecommender):
+    RECOMMENDER_NAME = "GANMF"
+
+    def fit(
+        self,
+        num_factors: int = 10,
+        emb_dim: int = 32,
+        epochs: int = 300,
+        batch_size: int = 32,
+        d_lr: float = 1e-4,
+        g_lr: float = 1e-4,
+        d_steps: int = 1,
+        g_steps: int = 1,
+        d_reg: float = 0,
+        g_reg: float = 0,
+        m: float = 1,
+        recon_coefficient: float = 1e-2,
+        allow_worse=None,
+        freq=None,
+        after: int = 0,
+        metrics=("MAP",),
+        sample_every=None,
+        validation_evaluator=None,
+        validation_set=None,
+    ):
+        self.config = dict(
+            num_factors=num_factors, emb_dim=emb_dim, epochs=epochs, batch_size=batch_size,
+            d_lr=d_lr, g_lr=g_lr, d_steps=d_steps, g_steps=g_steps, d_reg=d_reg, g_reg=g_reg,
+            m=m, recon_coefficient=recon_coefficient,
+        )
+        self.num_factors = int(num_factors)
+        self.emb_dim = int(emb_dim)
+
+        urm = self._train_dense()  # training orientation
+        n_rows, n_cols = urm.shape
+
+        key = jax.random.PRNGKey(self.seed)
+        self.params = _init_params(key, n_rows, n_cols, self.num_factors, self.emb_dim)
+
+        d_state = ADAM.init(_d_params(self.params))
+        g_state = ADAM.init(_g_params(self.params))
+
+        n_batches, padded = make_batches(n_rows, int(batch_size))
+        weights = jnp.asarray(padded_weights(n_rows, padded))
+        rng = np.random.RandomState(self.seed)
+
+        self.train_d_loss, self.train_g_loss = [], []
+
+        def epoch_fn(epoch):
+            nonlocal d_state, g_state
+            perm = jnp.asarray(shuffled_padded_perm(rng, n_rows, padded))
+            self.params, d_state, g_state, dl, gl = ganmf_epoch(
+                self.params, d_state, g_state, urm, perm, weights,
+                jnp.float32(d_lr), jnp.float32(g_lr),
+                m=float(m), recon_coefficient=float(recon_coefficient),
+                d_reg=float(d_reg), g_reg=float(g_reg),
+                n_batches=n_batches, batch_size=int(batch_size),
+                d_steps=int(d_steps), g_steps=int(g_steps),
+            )
+            self.train_d_loss.append(float(dl))
+            self.train_g_loss.append(float(gl))
+
+        result = self._run_training_loop(
+            epochs, validation_evaluator, validation_set, sample_every,
+            allow_worse, freq, list(metrics), after, epoch_fn,
+        )
+        self._invalidate_device_cache()
+        return result
+
+    # -- scoring (reference GANMF.py:285-292) ---------------------------------
+    def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        hi = jax.lax.Precision.HIGHEST
+        if self.mode == "item":
+            # trained on URM^T: external-user scores are columns of the
+            # internal fake matrix -> item_emb[uids] @ user_emb^T
+            return jnp.dot(jnp.take(self.params.item_emb, user_ids, axis=0),
+                           self.params.user_emb.T, precision=hi)
+        return jnp.dot(jnp.take(self.params.user_emb, user_ids, axis=0),
+                       self.params.item_emb.T, precision=hi)
+
+    # -- introspection (reference GANMF.py:294-307) ---------------------------
+    def user_factors(self):
+        return np.asarray(self.params.user_emb)
+
+    def item_factors(self):
+        return np.asarray(self.params.item_emb)
+
+    def autoencoder_codes(self):
+        x = self._train_dense()
+        enc, _ = _autoencode(self.params, x)
+        return np.asarray(enc)

@@ -1,0 +1,228 @@
+"""SLIM-BPR: item-item similarity learned with BPR sampling.
+
+The reference trains one sample at a time in Cython over pointer-chasing
+sparse structures (SLIM_BPR/Cython/SLIM_BPR_Cython_Epoch.pyx:198-370,
+custom Sparse_Matrix_Tree_CSR / Triangular_Matrix storage). TPU redesign:
+the item-item W lives dense in HBM, each epoch draws n_users (u, i+, j-)
+triples on device and processes them in vectorized chunks under one jitted
+lax.scan — gathers of W rows, a masked row-dot for x_uij, sigmoid gradient,
+AdaGrad/RMSprop/Adam per-item caches and scatter-add row updates (mirrored
+to columns for the symmetric variant, reproducing the reference's shared
+triangular cells). Chunked batching introduces bounded gradient staleness
+within a chunk; sampling distributions match the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganmf_tpu.models.base import ItemSimilarityRecommender, check_matrix, similarity_matrix_topk
+from ganmf_tpu.models.early_stopping import IncrementalTrainingEarlyStopping
+
+
+class _OptState(NamedTuple):
+    W: jnp.ndarray  # [I, I]
+    cache: jnp.ndarray  # adagrad/rmsprop second-moment per item [I]
+    m1: jnp.ndarray  # adam first moment per item [I]
+    m2: jnp.ndarray  # adam second moment per item [I]
+    beta1_t: jnp.ndarray  # adam bias-correction powers (scalars)
+    beta2_t: jnp.ndarray
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "chunk", "sgd_mode", "symmetric"),
+)
+def _bpr_epoch(
+    state: _OptState,
+    urm: jnp.ndarray,  # [U, I] dense 0/1 mask
+    warm_users: jnp.ndarray,  # [W] user ids with 1 <= profile < I
+    profile_pad: jnp.ndarray,  # [U, Lmax] item ids padded with 0
+    profile_len: jnp.ndarray,  # [U]
+    key,
+    learning_rate: float,
+    li_reg: float,
+    lj_reg: float,
+    gamma: float,
+    beta_1: float,
+    beta_2: float,
+    n_chunks: int,
+    chunk: int,
+    sgd_mode: str,
+    symmetric: bool,
+):
+    n_items = urm.shape[1]
+
+    def body(state: _OptState, key):
+        k_u, k_p, k_n = jax.random.split(key, 3)
+        u = jnp.take(warm_users, jax.random.randint(k_u, (chunk,), 0, warm_users.shape[0]))
+        lens = jnp.take(profile_len, u)
+        pos_slot = jax.random.randint(k_p, (chunk,), 0, jnp.iinfo(jnp.int32).max) % lens
+        i = profile_pad[u, pos_slot]
+
+        # negative sampling: draw 8 uniform candidates, take the first unseen
+        cand = jax.random.randint(k_n, (chunk, 8), 0, n_items)
+        seen = urm[u[:, None], cand] != 0
+        first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=1)  # 0 if all seen
+        j = cand[jnp.arange(chunk), first_ok]
+
+        P = jnp.take(urm, u, axis=0)  # [C, I] seen mask
+        Wi = jnp.take(state.W, i, axis=0)
+        Wj = jnp.take(state.W, j, axis=0)
+        x_uij = jnp.sum((Wi - Wj) * P, axis=1)
+        g = 1.0 / (1.0 + jnp.exp(x_uij))  # [C]
+
+        if sgd_mode == "adagrad":
+            cache = state.cache.at[i].add(g**2).at[j].add(g**2)
+            g_upd = g / (jnp.sqrt(jnp.take(cache, i)) + 1e-8)
+            new_cache, m1, m2, b1t, b2t = cache, state.m1, state.m2, state.beta1_t, state.beta2_t
+        elif sgd_mode == "rmsprop":
+            cache = state.cache * 1.0  # decay applied only at touched items, as in the reference
+            cache = cache.at[i].set(jnp.take(cache, i) * gamma + (1 - gamma) * g**2)
+            cache = cache.at[j].set(jnp.take(cache, j) * gamma + (1 - gamma) * g**2)
+            g_upd = g / (jnp.sqrt(jnp.take(cache, i)) + 1e-8)
+            new_cache, m1, m2, b1t, b2t = cache, state.m1, state.m2, state.beta1_t, state.beta2_t
+        elif sgd_mode == "adam":
+            m1 = state.m1.at[i].set(jnp.take(state.m1, i) * beta_1 + (1 - beta_1) * g)
+            m2 = state.m2.at[i].set(jnp.take(state.m2, i) * beta_2 + (1 - beta_2) * g**2)
+            m1 = m1.at[j].set(jnp.take(m1, j) * beta_1 + (1 - beta_1) * g)
+            m2 = m2.at[j].set(jnp.take(m2, j) * beta_2 + (1 - beta_2) * g**2)
+            mom1 = jnp.take(m1, i) / (1 - state.beta1_t)
+            mom2 = jnp.take(m2, i) / (1 - state.beta2_t)
+            g_upd = mom1 / (jnp.sqrt(mom2) + 1e-8)
+            new_cache = state.cache
+            b1t = state.beta1_t * beta_1**chunk
+            b2t = state.beta2_t * beta_2**chunk
+        else:  # plain sgd
+            g_upd = g
+            new_cache, m1, m2, b1t, b2t = state.cache, state.m1, state.m2, state.beta1_t, state.beta2_t
+
+        # updates over the user's seen items, skipping the updated row's item
+        not_i = P * (1 - jax.nn.one_hot(i, n_items, dtype=P.dtype))
+        not_j = P * (1 - jax.nn.one_hot(j, n_items, dtype=P.dtype))
+        delta_i = learning_rate * (g_upd[:, None] - li_reg * Wi) * not_i
+        delta_j = -learning_rate * (g_upd[:, None] - lj_reg * Wj) * not_j
+
+        W = state.W.at[i].add(delta_i).at[j].add(delta_j)
+        if symmetric:
+            # mirror to columns: the reference's triangular storage shares
+            # cell (a, b) with (b, a) (SLIM_BPR_Cython_Epoch.pyx:1234+)
+            W = W.at[:, i].add(delta_i.T).at[:, j].add(delta_j.T)
+
+        return _OptState(W, new_cache, m1, m2, b1t, b2t), None
+
+    keys = jax.random.split(key, n_chunks)
+    state, _ = jax.lax.scan(body, state, keys)
+    return state
+
+
+class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
+    RECOMMENDER_NAME = "SLIM_BPR_Recommender"
+
+    def fit(
+        self,
+        epochs: int = 300,
+        positive_threshold: float = 1,
+        train_with_sparse_weights: bool = None,  # accepted for API parity; dense HBM W is always used
+        symmetric: bool = True,
+        random_seed: int = 1234,
+        lambda_i: float = 0.0,
+        lambda_j: float = 0.0,
+        learning_rate: float = 1e-4,
+        topK: int = 200,
+        sgd_mode: str = "adagrad",
+        gamma: float = 0.995,
+        beta_1: float = 0.9,
+        beta_2: float = 0.999,
+        chunk_size: int = 256,
+        **earlystopping_kwargs,
+    ):
+        self.symmetric = symmetric
+        self.topK = topK
+        self.sgd_mode = sgd_mode
+        self.learning_rate = learning_rate
+        self.lambda_i = lambda_i
+        self.lambda_j = lambda_j
+        self.gamma = gamma
+        self.beta_1 = beta_1
+        self.beta_2 = beta_2
+        self._chunk = int(chunk_size)
+
+        urm_mask = self.URM_train.copy()
+        if positive_threshold is not None:
+            urm_mask.data = (urm_mask.data >= positive_threshold).astype(np.float32)
+            urm_mask.eliminate_zeros()
+
+        lens = np.ediff1d(urm_mask.indptr)
+        warm = np.where((lens > 0) & (lens < self.n_items))[0].astype(np.int32)
+        lmax = int(lens.max()) if len(lens) else 1
+        pad = np.zeros((self.n_users, lmax), dtype=np.int32)
+        for u in range(self.n_users):
+            s, e = urm_mask.indptr[u], urm_mask.indptr[u + 1]
+            pad[u, : e - s] = urm_mask.indices[s:e]
+
+        self._urm_dev = jnp.asarray(np.asarray(urm_mask.todense(), dtype=np.float32))
+        self._warm_dev = jnp.asarray(warm)
+        self._pad_dev = jnp.asarray(pad)
+        self._len_dev = jnp.asarray(np.maximum(lens, 1).astype(np.int32))
+
+        I = self.n_items
+        self._state = _OptState(
+            W=jnp.zeros((I, I), jnp.float32),
+            cache=jnp.zeros((I,), jnp.float32),
+            m1=jnp.zeros((I,), jnp.float32),
+            m2=jnp.zeros((I,), jnp.float32),
+            beta1_t=jnp.asarray(1.0 - (1.0 - beta_1)),  # = beta_1, as in the reference init
+            beta2_t=jnp.asarray(1.0 - (1.0 - beta_2)),
+        )
+        self._key = jax.random.PRNGKey(random_seed)
+        # one reference epoch = n_users samples (+1 partial batch, pyx:201)
+        self._n_chunks = max(1, int(np.ceil(self.n_users / self._chunk)))
+
+        self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
+        self.W_sparse = self._get_w_sparse(self._S_best)
+        self._invalidate_device_cache()
+
+    # -- epoch hooks ---------------------------------------------------------
+    def _run_epoch(self, num_epoch):
+        self._key, sub = jax.random.split(self._key)
+        self._state = _bpr_epoch(
+            self._state,
+            self._urm_dev,
+            self._warm_dev,
+            self._pad_dev,
+            self._len_dev,
+            sub,
+            learning_rate=self.learning_rate,
+            li_reg=self.lambda_i,
+            lj_reg=self.lambda_j,
+            gamma=self.gamma,
+            beta_1=self.beta_1,
+            beta_2=self.beta_2,
+            n_chunks=self._n_chunks,
+            chunk=self._chunk,
+            sgd_mode=self.sgd_mode,
+            symmetric=self.symmetric,
+        )
+
+    def _get_w_sparse(self, S: np.ndarray):
+        S = np.asarray(S, dtype=np.float32).copy()
+        np.fill_diagonal(S, 0.0)
+        # reference dense path: similarityMatrixTopK(S.T, k).T == row-wise topK
+        return check_matrix(similarity_matrix_topk(S.T, k=self.topK).T, "csr")
+
+    def _prepare_model_for_validation(self):
+        self.W_sparse = self._get_w_sparse(np.asarray(self._state.W))
+        self._invalidate_device_cache()
+
+    def _update_best_model(self):
+        self._S_best = np.asarray(self._state.W)
+
+
+# reference-compatible alias (SLIM_BPR/Cython/SLIM_BPR_Cython.py:50)
+SLIM_BPR_Cython = SLIM_BPR

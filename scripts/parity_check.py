@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""End-to-end parity driver: train on the reference's committed LastFM split
+with the reference's committed best hyperparameters, evaluate at the
+reference protocol, and diff every metric against the published
+test_results.txt numbers.
+
+Usage: python scripts/parity_check.py [toppop|puresvd|itemknn|ganmf|all]
+Runs on whatever jax backend is available (TPU when present).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from ganmf_tpu.data import load_reference_splits
+from ganmf_tpu.eval import EvaluatorHoldout
+from ganmf_tpu.models import GANMF, ItemKNNCFRecommender, PureSVDRecommender, TopPop
+from ganmf_tpu.utils.seeding import set_seed
+
+# published CUTOFF: 20 rows (test_results/<dir>/test_results.txt)
+BASELINE_LASTFM = {
+    "toppop": {"MAP": 0.0391824, "NDCG": 0.0946814, "PRECISION": 0.0488057, "RECALL": 0.0993311},
+    "puresvd": {"MAP": 0.1063839, "NDCG": 0.2145046, "PRECISION": 0.1052282, "RECALL": 0.2122997},
+    "itemknn": {"MAP": 0.1276855, "NDCG": 0.2566179, "PRECISION": 0.1252919, "RECALL": 0.2539871},
+    "ganmf": {"MAP": 0.1402326, "NDCG": 0.2741708},
+}
+
+BEST_PARAMS = {
+    "puresvd": {"num_factors": 9},
+    "itemknn": {"topK": 543, "shrink": 6, "normalize": True, "similarity": "cosine"},
+    "ganmf": {
+        "epochs": 101, "num_factors": 67, "batch_size": 1024, "m": 10,
+        "d_lr": 0.00011007144484547656, "g_lr": 0.00440884635310339,
+        "d_reg": 8.597967674039093e-06, "recon_coefficient": 0.3365661084745858,
+        "emb_dim": 398,
+    },
+}
+
+
+def run(which: str):
+    splits = load_reference_splits("LastFM")
+    evaluator = EvaluatorHoldout(splits.test, [5, 10, 20, 50])
+    set_seed(1337)
+
+    t0 = time.time()
+    if which == "toppop":
+        model = TopPop(splits.train)
+        model.fit()
+    elif which == "puresvd":
+        model = PureSVDRecommender(splits.train)
+        model.fit(**BEST_PARAMS["puresvd"])
+    elif which == "itemknn":
+        model = ItemKNNCFRecommender(splits.train)
+        model.fit(**BEST_PARAMS["itemknn"])
+    elif which == "ganmf":
+        model = GANMF(splits.train, mode="user", seed=1337, is_experiment=True)
+        model.fit(**BEST_PARAMS["ganmf"])
+    else:
+        raise SystemExit(f"unknown target {which}")
+    train_s = time.time() - t0
+
+    t0 = time.time()
+    results, results_string = evaluator.evaluateRecommender(model)
+    eval_s = time.time() - t0
+
+    print(f"=== {which} on LastFM | train {train_s:.1f}s | eval {eval_s:.1f}s ===")
+    print(results_string)
+    row = results[20]
+    report = {"target": which, "train_s": round(train_s, 2), "eval_s": round(eval_s, 2)}
+    for metric, ref in BASELINE_LASTFM[which].items():
+        got = float(row[metric])
+        report[metric] = {"ours": round(got, 7), "ref": ref, "delta": round(got - ref, 7)}
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    targets = sys.argv[1:] or ["all"]
+    if targets == ["all"]:
+        targets = ["toppop", "puresvd", "itemknn", "ganmf"]
+    for t in targets:
+        run(t)

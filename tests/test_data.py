@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from ganmf_tpu.data.reader import InteractionReader, DatasetConfig, build_urm, kcore_filter, split_urm
+from ganmf_tpu.data.splits import find_split_dir, load_reference_splits, make_experiment_splits
+from tests.conftest import random_urm
+
+
+def test_build_urm_reindexes():
+    rows = np.array([10, 10, 42, 99])
+    cols = np.array([7, 3, 3, 500])
+    data = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+    urm, r2u, c2i = build_urm(rows, cols, data)
+    assert urm.shape == (3, 3)
+    assert urm.nnz == 4
+    assert r2u[10] == 0 and r2u[99] == 2
+    assert c2i[3] == 0 and c2i[500] == 2
+
+
+def test_kcore_removes_sparse_users():
+    urm = sps.csr_matrix(np.array([
+        [1, 1, 1, 0],
+        [1, 0, 0, 0],   # 1 rating -> dropped with min_ratings_user=2
+        [0, 1, 1, 1],
+    ], np.float32))
+    out = kcore_filter(urm, min_ratings_user=2, min_ratings_item=1)
+    assert out.shape[0] == 2
+
+
+def test_split_preserves_interactions_and_shapes():
+    urm = random_urm(60, 40, density=0.3, seed=11)
+    np.random.seed(1337)
+    train, test, valid = split_urm(urm, split_ratio=[0.8, 0.2, 0], implicit=True, min_ratings_user=2)
+    assert train.shape == test.shape
+    total = train.nnz + test.nnz
+    # all interactions land in train+test (third bucket empty for this ratio)
+    assert total > 0
+    overlap = train.multiply(test)
+    assert overlap.nnz == 0
+    ratio = train.nnz / total
+    assert 0.7 < ratio < 0.9
+    assert np.all(train.data == 1.0)
+
+
+def test_split_deterministic_under_seed():
+    urm = random_urm(60, 40, density=0.3, seed=11)
+    np.random.seed(1337)
+    a = split_urm(urm, split_ratio=[0.8, 0.2, 0], implicit=True)
+    np.random.seed(1337)
+    b = split_urm(urm, split_ratio=[0.8, 0.2, 0], implicit=True)
+    for x, y in zip(a, b):
+        assert (x != y).nnz == 0
+
+
+def test_validation_ratio_split():
+    """[0.75, 0, 0.25] sends multinomial 'valid' draws to the third split."""
+    urm = random_urm(80, 50, density=0.4, seed=5)
+    np.random.seed(1337)
+    train, test, valid = split_urm(urm, split_ratio=[0.75, 0, 0.25], min_ratings_user=1)
+    assert test.nnz == 0
+    assert valid.nnz > 0
+    assert train.nnz > valid.nnz
+
+
+def test_experiment_splits_construction():
+    urm = random_urm(100, 60, density=0.3, seed=2)
+    splits = make_experiment_splits(urm, seed=1337)
+    assert splits.train.shape == splits.test.shape == splits.train_small.shape
+    # train_small + early_stop + validation ~ partition of train
+    assert splits.train_small.nnz + splits.early_stop.nnz <= splits.train.nnz
+    # determinism
+    splits2 = make_experiment_splits(urm, seed=1337)
+    assert (splits.train_small != splits2.train_small).nnz == 0
+
+
+def test_reader_pipeline(tmp_path):
+    path = tmp_path / "ratings.csv"
+    rng = np.random.RandomState(0)
+    lines = []
+    for u in range(30):
+        for i in rng.choice(50, size=8, replace=False):
+            lines.append(f"{u},{i},{rng.randint(1, 6)}")
+    path.write_text("\n".join(lines))
+
+    cfg = DatasetConfig(split_ratio=(0.8, 0.2, 0), implicit=True, save_local=True)
+    reader = InteractionReader(str(path), cache_dir=str(tmp_path / "cache"), config=cfg).process()
+    train = reader.get_URM_train()
+    test = reader.get_URM_test()
+    assert train.shape == test.shape
+    assert train.nnz + test.nnz > 0
+
+    # cache round-trip
+    reader2 = InteractionReader(str(path), cache_dir=str(tmp_path / "cache"), config=cfg).process()
+    assert (reader2.get_URM_train() != train).nnz == 0
+
+
+@pytest.mark.skipif(find_split_dir("LastFM") is None, reason="reference split artifacts not available")
+def test_load_reference_splits():
+    splits = load_reference_splits("LastFM")
+    assert splits.train.shape == (1884, 17632)
+    assert splits.train.nnz == 74238
+    assert splits.test.nnz == 18588

@@ -1,0 +1,198 @@
+"""Smoke + behavior tests for every recommender on small synthetic data."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from ganmf_tpu.eval import EvaluatorHoldout
+from ganmf_tpu.models import (
+    CAAE,
+    CFGAN,
+    GANMF,
+    DisGANMF,
+    IALSRecommender,
+    ItemKNNCFRecommender,
+    P3alphaRecommender,
+    PureSVDRecommender,
+    SLIM_BPR,
+    TopPop,
+)
+from ganmf_tpu.models.itemknn import UserKNNCFRecommender
+from ganmf_tpu.models.p3alpha import RP3betaRecommender
+from ganmf_tpu.models.toppop import GlobalEffects
+
+
+def _map_at5(model, test):
+    results, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(model)
+    return results[5]["MAP"]
+
+
+def test_toppop_scores_and_ranking(urm_pair):
+    train, test = urm_pair
+    model = TopPop(train)
+    model.fit()
+    pop = np.ediff1d(train.tocsc().indptr)
+    ranked = model.recommend(0, cutoff=5, remove_seen_flag=False)
+    expected = np.argsort(-pop, kind="stable")[:5]
+    assert list(ranked) == list(expected)
+    assert _map_at5(model, test) > 0
+
+
+def test_recommend_removes_seen(urm_pair):
+    train, _ = urm_pair
+    model = TopPop(train)
+    model.fit()
+    seen = set(train.indices[train.indptr[3] : train.indptr[4]])
+    recs = model.recommend(3, cutoff=20, remove_seen_flag=True)
+    assert not (set(recs) & seen)
+
+
+def test_puresvd_reconstructs_low_rank(urm_pair):
+    train, test = urm_pair
+    model = PureSVDRecommender(train)
+    model.fit(num_factors=8)
+    assert model.USER_factors.shape == (train.shape[0], 8)
+    # low-rank recon should beat popularity on its own train-derived test
+    assert _map_at5(model, test) > 0
+
+
+def test_ials_improves_over_epochs(urm_pair):
+    train, test = urm_pair
+    model = IALSRecommender(train)
+    model.fit(epochs=3, num_factors=8, alpha=5.0, reg=1e-3)
+    baseline = TopPop(train)
+    baseline.fit()
+    assert _map_at5(model, test) >= _map_at5(baseline, test) * 0.5
+
+
+def test_itemknn_all_similarities(urm_pair):
+    train, test = urm_pair
+    for sim in ["cosine", "jaccard", "dice", "tversky", "asymmetric", "euclidean"]:
+        model = ItemKNNCFRecommender(train)
+        model.fit(topK=10, shrink=0, similarity=sim, normalize=True)
+        assert model.W_sparse.shape == (train.shape[1], train.shape[1])
+        assert model.W_sparse.nnz > 0
+        # no self-similarity
+        assert np.all(model.W_sparse.diagonal() == 0)
+        assert np.isfinite(_map_at5(model, test))
+
+
+def test_itemknn_cosine_matches_numpy(urm_pair):
+    """Dense numpy cosine check of the device similarity kernel."""
+    train, _ = urm_pair
+    model = ItemKNNCFRecommender(train)
+    topk = train.shape[1]  # no pruning
+    model.fit(topK=topk, shrink=0, similarity="cosine", normalize=True)
+    A = np.asarray(train.todense(), np.float64)
+    G = A.T @ A
+    norms = np.sqrt((A**2).sum(axis=0))
+    den = norms[:, None] * norms[None, :] + 1e-6
+    expected = G / den
+    np.fill_diagonal(expected, 0.0)
+    got = np.asarray(model.W_sparse.todense())
+    assert np.allclose(got, expected, atol=1e-4)
+
+
+def test_p3alpha_and_rp3beta(urm_pair):
+    train, test = urm_pair
+    for cls, kwargs in [(P3alphaRecommender, dict(alpha=0.8)), (RP3betaRecommender, dict(alpha=0.8, beta=0.4))]:
+        model = cls(train)
+        model.fit(topK=15, normalize_similarity=True, **kwargs)
+        assert model.W_sparse.nnz > 0
+        assert np.isfinite(_map_at5(model, test))
+
+
+def test_slim_bpr_learns(urm_pair):
+    train, test = urm_pair
+    model = SLIM_BPR(train)
+    model.fit(epochs=30, topK=20, learning_rate=0.05, sgd_mode="adagrad", symmetric=True, chunk_size=32)
+    assert model.W_sparse.nnz > 0
+    assert _map_at5(model, test) > 0
+
+
+def test_ganmf_trains_and_scores(urm_pair):
+    train, test = urm_pair
+    model = GANMF(train, mode="user", seed=42)
+    last_epoch = model.fit(num_factors=8, emb_dim=16, epochs=4, batch_size=16, d_lr=1e-3, g_lr=1e-3)
+    assert last_epoch == 5  # reference returns epochs + 1 when not early-stopped
+    scores = model._compute_item_score(np.arange(5))
+    assert scores.shape == (5, train.shape[1])
+    assert np.isfinite(scores).all()
+    assert np.isfinite(_map_at5(model, test))
+
+
+def test_ganmf_item_mode(urm_pair):
+    train, test = urm_pair
+    model = GANMF(train, mode="item", seed=42)
+    model.fit(num_factors=8, emb_dim=16, epochs=2, batch_size=16)
+    scores = model._compute_item_score(np.arange(3))
+    assert scores.shape == (3, train.shape[1])
+
+
+def test_ganmf_early_stopping(urm_pair):
+    train, test = urm_pair
+    ev = EvaluatorHoldout(test, [5])
+    model = GANMF(train, mode="user", seed=42)
+    last = model.fit(
+        num_factors=8, emb_dim=16, epochs=50, batch_size=16,
+        allow_worse=1, freq=2, validation_evaluator=ev,
+    )
+    assert last <= 51
+    assert model.best_params is not None
+
+
+def test_disganmf(urm_pair):
+    train, test = urm_pair
+    model = DisGANMF(train, mode="user", seed=1)
+    model.fit(num_factors=8, d_layers=2, d_nodes=16, d_hidden_act="tanh", epochs=3, batch_size=16)
+    assert np.isfinite(_map_at5(model, test))
+
+
+@pytest.mark.parametrize("scheme", ["ZR", "PM", "ZP"])
+def test_cfgan_schemes(urm_pair, scheme):
+    train, test = urm_pair
+    model = CFGAN(train, mode="user", seed=1)
+    model.fit(
+        d_nodes=16, g_nodes=16, d_layers=1, g_layers=1, scheme=scheme,
+        g_hidden_act="sigmoid", epochs=2, d_batch_size=16, g_batch_size=16,
+        zr_ratio=0.3, zp_ratio=0.3, zr_coefficient=0.1,
+    )
+    assert np.isfinite(_map_at5(model, test))
+
+
+def test_cfgan_item_mode(urm_pair):
+    train, test = urm_pair
+    model = CFGAN(train, mode="item", seed=1)
+    model.fit(d_nodes=8, g_nodes=8, epochs=2, d_batch_size=16, g_batch_size=16, scheme="PM", zp_ratio=0.2)
+    scores = model._compute_item_score(np.arange(4))
+    assert scores.shape == (4, train.shape[1])
+
+
+def test_caae(urm_pair):
+    train, test = urm_pair
+    model = CAAE(train, seed=1)
+    model.fit(epochs=2, d_steps=1, g_steps=2, gpr_steps=2, g_layers=1, g_units=16,
+              num_factors=8, d_bsize=64, m_batch=8, lr=1e-3)
+    assert np.isfinite(_map_at5(model, test))
+
+
+def test_userknn_and_globaleffects(urm_pair):
+    train, test = urm_pair
+    uk = UserKNNCFRecommender(train)
+    uk.fit(topK=10, shrink=0, similarity="cosine")
+    assert np.isfinite(_map_at5(uk, test))
+    ge = GlobalEffects(train)
+    ge.fit()
+    assert np.isfinite(_map_at5(ge, test))
+
+
+def test_save_load_roundtrip(tmp_path, urm_pair):
+    train, test = urm_pair
+    model = PureSVDRecommender(train)
+    model.fit(num_factors=6)
+    model.saveModel(str(tmp_path))
+    fresh = PureSVDRecommender(train)
+    fresh.loadModel(str(tmp_path))
+    a = model._compute_item_score(np.arange(4))
+    b = fresh._compute_item_score(np.arange(4))
+    assert np.allclose(a, b)
