@@ -1,0 +1,6 @@
+from ganmf_tpu.parallel.mesh import MeshPlan, make_mesh
+from ganmf_tpu.parallel.distributed import (
+    make_distributed_ganmf_step,
+    shard_ganmf_params,
+    init_distributed,
+)

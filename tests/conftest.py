@@ -1,11 +1,18 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh: multi-chip sharding code paths
-# are exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# are exercised without TPU hardware. The host sitecustomize imports jax at
+# interpreter startup with JAX_PLATFORMS pinned to the TPU backend, so the
+# env var alone is too late — override through jax.config before any backend
+# initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
