@@ -62,7 +62,9 @@ class _BaseEvaluator:
         self.URM_test = sps.csr_matrix(URM_test).copy()
         self.URM_test.eliminate_zeros()
         self.cutoff_list = list(cutoff_list)
-        self.max_cutoff = max(self.cutoff_list)
+        # ranking length is capped by the item count (argpartition in the
+        # reference has the same hard limit)
+        self.max_cutoff = min(max(self.cutoff_list), URM_test.shape[1])
         self.minRatingsPerUser = minRatingsPerUser
         self.exclude_seen = exclude_seen
         self.diversity_object = diversity_object
