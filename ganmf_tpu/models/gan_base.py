@@ -45,6 +45,10 @@ class AdversarialRecommender(Recommender):
         self.best_params = None  # early-stopping snapshot
         self._stop_training = False
 
+        # optional observability / durability hooks (ganmf_tpu.utils)
+        self.metrics_logger = None  # utils.logging.MetricsLogger
+        self.checkpointer = None  # utils.checkpoint.TrainCheckpointer
+
     # -- training-orientation helpers ---------------------------------------
     def _train_matrix(self):
         """CSR in training orientation (transposed for item mode)."""
@@ -91,8 +95,15 @@ class AdversarialRecommender(Recommender):
         while not self._stop_training and epoch < epochs + 1:
             epoch_fn(epoch)
 
+            if self.metrics_logger is not None:
+                self.metrics_logger.log_epoch(epoch)
+            if self.checkpointer is not None:
+                self.checkpointer.maybe_save(epoch, self.params)
+
             if validation_set is not None and sample_every is not None and epoch % sample_every == 0:
-                _, results_string = validation_evaluator.evaluateRecommender(self)
+                results, results_string = validation_evaluator.evaluateRecommender(self)
+                if self.metrics_logger is not None:
+                    self.metrics_logger.log_eval(epoch, results)
                 if self.verbose:
                     print(f"Epoch {epoch}:\n{results_string}")
 

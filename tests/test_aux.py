@@ -1,0 +1,89 @@
+"""Aux subsystem tests: logging, checkpointing, significance, analysis."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ganmf_tpu.eval.significance import KFoldResultRepository, compute_k_fold_significance
+from ganmf_tpu.utils.analysis import cosine_sim, describe_urm, gini
+from ganmf_tpu.utils.checkpoint import TrainCheckpointer
+from ganmf_tpu.utils.logging import MetricsLogger, read_jsonl
+from ganmf_tpu.utils.timing import seconds_to_biggest_unit
+from tests.conftest import random_urm
+
+
+def test_metrics_logger_jsonl(tmp_path):
+    path = str(tmp_path / "run.jsonl")
+    logger = MetricsLogger(path, run_name="test")
+    logger.log_epoch(1, d_loss=0.5, g_loss=0.2)
+    logger.log_eval(1, {5: {"MAP": 0.1, "NDCG": 0.2}})
+    records = read_jsonl(path)
+    assert records[0]["event"] == "epoch" and records[0]["d_loss"] == 0.5
+    assert records[1]["MAP@5"] == 0.1
+
+
+def test_train_checkpointer_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    ckpt = TrainCheckpointer(str(tmp_path / "ckpt"), every_n_epochs=2)
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.asarray(3)}
+    assert not ckpt.maybe_save(1, state)
+    assert ckpt.maybe_save(2, state)
+    assert ckpt.latest_epoch() == 2
+    restored = ckpt.restore(2, state)
+    np.testing.assert_allclose(np.asarray(restored["w"]), np.asarray(state["w"]))
+
+
+def test_significance_tests():
+    rng = np.random.RandomState(0)
+    repo_a, repo_b = KFoldResultRepository(10), KFoldResultRepository(10)
+    for f in range(10):
+        repo_a.set_results_in_fold(f, {"MAP": 0.30 + rng.randn() * 0.001, "NDCG": 0.5})
+        repo_b.set_results_in_fold(f, {"MAP": 0.20 + rng.randn() * 0.001, "NDCG": 0.5})
+    res = repo_a.run_significance_test(repo_b, metrics=["MAP"])
+    assert res["MAP"]["significant"]
+    assert res["MAP"]["mean_diff"] == pytest.approx(0.1, abs=0.01)
+
+    allpairs = compute_k_fold_significance([repo_a, repo_b], metrics=["MAP"])
+    assert (0, 1) in allpairs
+
+
+def test_gini_and_describe():
+    uniform = np.ones(100)
+    assert gini(uniform) == pytest.approx(0.0, abs=1e-3)
+    skewed = np.zeros(100)
+    skewed[0] = 100
+    assert gini(skewed) > 0.9
+
+    urm = random_urm(30, 20, 0.2)
+    stats = describe_urm(urm, "synth")
+    assert stats["n_users"] == 30 and stats["interactions"] == urm.nnz
+
+
+def test_cosine_sim_diag():
+    m = np.random.RandomState(0).rand(5, 8)
+    sim = cosine_sim(m)
+    np.testing.assert_allclose(np.diag(sim), 1.0, atol=1e-6)
+
+
+def test_seconds_to_biggest_unit():
+    assert seconds_to_biggest_unit(30) == (30, "sec")
+    v, u = seconds_to_biggest_unit(90)
+    assert u == "min" and v == pytest.approx(1.5)
+    v, u = seconds_to_biggest_unit(7200)
+    assert u == "hour" and v == pytest.approx(2.0)
+
+
+def test_gan_logger_and_checkpoint_hooks(tmp_path, urm_pair):
+    from ganmf_tpu.models import GANMF
+
+    train, _ = urm_pair
+    model = GANMF(train, seed=0)
+    model.metrics_logger = MetricsLogger(str(tmp_path / "m.jsonl"))
+    model.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    model.fit(num_factors=4, emb_dim=8, epochs=4, batch_size=16)
+    records = read_jsonl(str(tmp_path / "m.jsonl"))
+    assert sum(r["event"] == "epoch" for r in records) == 4
+    assert model.checkpointer.latest_epoch() == 4
