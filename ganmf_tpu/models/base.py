@@ -208,9 +208,28 @@ class Recommender:
         return data
 
 
+def compute_W_sparse_from_item_latent_factors(ITEM_factors: np.ndarray, topK: int = 100) -> sps.csr_matrix:
+    """Item-item dot-product similarity from latent factors, top-K per
+    column (reference Base/BaseMatrixFactorizationRecommender.py:17-70);
+    the blockwise host matmul becomes one device matmul + lax.top_k."""
+    V = jnp.asarray(np.asarray(ITEM_factors, dtype=np.float32))
+    W = jnp.dot(V, V.T, precision=jax.lax.Precision.HIGHEST)
+    k = min(topK, V.shape[0])
+    vals, idx = jax.lax.top_k(W.T, k)  # per column (rows of W^T)
+    vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
+    keep = vals != 0.0
+    counts = keep.sum(axis=1)
+    indptr = np.zeros(V.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return sps.csc_matrix(
+        (vals[keep], idx[keep], indptr), shape=(V.shape[0], V.shape[0]), dtype=np.float32
+    ).tocsr()
+
+
 class MatrixFactorizationRecommender(Recommender):
     """Dot-product scoring from USER_factors/ITEM_factors
-    (reference Base/BaseMatrixFactorizationRecommender.py:94-143)."""
+    (reference Base/BaseMatrixFactorizationRecommender.py:94-143), with the
+    optional cold-user fallbacks of set_URM_train (:150-200)."""
 
     RECOMMENDER_NAME = "BaseMatrixFactorizationRecommender"
 
@@ -220,6 +239,9 @@ class MatrixFactorizationRecommender(Recommender):
         self.ITEM_factors: Optional[np.ndarray] = None
         self.use_bias = False
         self._device_factors = None
+        self._cold_user_KNN_model_available = False
+        self._ItemKNNRecommender = None
+        self._warm_user_KNN_mask = None
 
     def _factors_device(self):
         if self._device_factors is None:
@@ -238,7 +260,37 @@ class MatrixFactorizationRecommender(Recommender):
         U, V, cold = self._factors_device()
         scores = jnp.dot(jnp.take(U, user_ids, axis=0), V.T, precision=jax.lax.Precision.HIGHEST)
         cold_batch = jnp.take(cold, user_ids)
+        if self._cold_user_KNN_model_available:
+            # cold-for-MF but warm-in-KNN users score through the estimated
+            # item-item model (reference :166-178)
+            knn_scores = self._ItemKNNRecommender.score_device(user_ids)
+            warm_knn = jnp.take(jnp.asarray(self._warm_user_KNN_mask), user_ids)
+            use_knn = cold_batch & warm_knn
+            scores = jnp.where(use_knn[:, None], knn_scores, scores)
+            cold_batch = cold_batch & ~warm_knn
         return jnp.where(cold_batch[:, None], -jnp.inf, scores)
+
+    def set_URM_train(self, URM_train_new, estimate_model_for_cold_users=None, topK: int = 100, **kwargs):
+        super().set_URM_train(URM_train_new)
+
+        if estimate_model_for_cold_users == "itemKNN":
+            from ganmf_tpu.models.itemknn import ItemKNNCustomSimilarityRecommender
+
+            W_sparse = compute_W_sparse_from_item_latent_factors(self.ITEM_factors, topK=topK)
+            self._ItemKNNRecommender = ItemKNNCustomSimilarityRecommender(self.URM_train)
+            self._ItemKNNRecommender.fit(W_sparse, topK=topK)
+            self._cold_user_KNN_model_available = True
+            self._warm_user_KNN_mask = np.ediff1d(self.URM_train.indptr) > 0
+
+        elif estimate_model_for_cold_users == "mean_item_factors":
+            # USER_factors = URM . ITEM_factors / sqrt(profile length)
+            profile_length = np.ediff1d(self.URM_train.indptr)
+            sqrt_len = np.sqrt(np.maximum(profile_length, 1))
+            self.USER_factors = np.asarray(self.URM_train.dot(self.ITEM_factors), dtype=np.float32)
+            self.USER_factors /= sqrt_len[:, None]
+            # estimated users are no longer cold for scoring purposes
+            self._cold_user_mask = profile_length == 0
+            self._invalidate_device_cache()
 
     def _save_dict(self):
         return {

@@ -1,0 +1,212 @@
+"""SGD matrix-factorization trainers: BPR-MF, FunkSVD, AsySVD.
+
+TPU equivalents of the reference's Cython MF epochs
+(MatrixFactorization/Cython/MatrixFactorization_Cython_Epoch.pyx:29-910 and
+the wrappers in MatrixFactorization_Cython.py:172-330): per-epoch sampled
+SGD updates over user/item factor tables with optional AdaGrad scaling,
+re-phrased as chunked vectorized updates under one jitted lax.scan (same
+redesign as ganmf_tpu.models.slim_bpr).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ganmf_tpu.models.base import MatrixFactorizationRecommender
+from ganmf_tpu.models.early_stopping import IncrementalTrainingEarlyStopping
+
+
+class _MFState(NamedTuple):
+    U: jnp.ndarray  # [n_users, K]
+    V: jnp.ndarray  # [n_items, K]
+    bU: jnp.ndarray  # [n_users]
+    bV: jnp.ndarray  # [n_items]
+    cacheU: jnp.ndarray
+    cacheV: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk", "algorithm", "use_adagrad", "use_bias"))
+def _mf_epoch(
+    state: _MFState,
+    urm: jnp.ndarray,  # [U, I] dense ratings
+    warm_users: jnp.ndarray,
+    profile_pad: jnp.ndarray,
+    profile_len: jnp.ndarray,
+    key,
+    learning_rate: float,
+    user_reg: float,
+    item_reg: float,
+    bias_reg: float,
+    n_chunks: int,
+    chunk: int,
+    algorithm: str,
+    use_adagrad: bool,
+    use_bias: bool,
+):
+    n_items = urm.shape[1]
+
+    def body(state: _MFState, key):
+        k_u, k_p, k_n = jax.random.split(key, 3)
+        u = jnp.take(warm_users, jax.random.randint(k_u, (chunk,), 0, warm_users.shape[0]))
+        lens = jnp.take(profile_len, u)
+        slot = jax.random.randint(k_p, (chunk,), 0, jnp.iinfo(jnp.int32).max) % lens
+        i = profile_pad[u, slot]
+        r_ui = urm[u, i]
+
+        Uu = jnp.take(state.U, u, axis=0)  # [C, K]
+        Vi = jnp.take(state.V, i, axis=0)
+
+        if algorithm == "bpr":
+            cand = jax.random.randint(k_n, (chunk, 8), 0, n_items)
+            seen = urm[u[:, None], cand] != 0
+            j = cand[jnp.arange(chunk), jnp.argmax(jnp.where(seen, 0, 1), axis=1)]
+            Vj = jnp.take(state.V, j, axis=0)
+            x_uij = jnp.sum(Uu * (Vi - Vj), axis=1)
+            g = 1.0 / (1.0 + jnp.exp(x_uij))  # sigmoid gradient
+            dU = g[:, None] * (Vi - Vj) - user_reg * Uu
+            dVi = g[:, None] * Uu - item_reg * Vi
+            dVj = -g[:, None] * Uu - item_reg * Vj
+        else:  # funk_svd / asy_svd: pointwise squared error on observed cells
+            pred = jnp.sum(Uu * Vi, axis=1)
+            if use_bias:
+                pred = pred + jnp.take(state.bU, u) + jnp.take(state.bV, i)
+            err = r_ui - pred
+            dU = err[:, None] * Vi - user_reg * Uu
+            dVi = err[:, None] * Uu - item_reg * Vi
+            dVj = None
+            j = None
+
+        if use_adagrad:
+            cu = state.cacheU.at[u].add(jnp.mean(dU**2, axis=1))
+            cv = state.cacheV.at[i].add(jnp.mean(dVi**2, axis=1))
+            scale_u = 1.0 / (jnp.sqrt(jnp.take(cu, u)) + 1e-8)
+            scale_v = 1.0 / (jnp.sqrt(jnp.take(cv, i)) + 1e-8)
+        else:
+            cu, cv = state.cacheU, state.cacheV
+            scale_u = scale_v = jnp.ones((chunk,))
+
+        U = state.U.at[u].add(learning_rate * scale_u[:, None] * dU)
+        V = state.V.at[i].add(learning_rate * scale_v[:, None] * dVi)
+        bU, bV = state.bU, state.bV
+        if algorithm == "bpr":
+            V = V.at[j].add(learning_rate * scale_v[:, None] * dVj)
+        elif use_bias:
+            err = r_ui - (jnp.sum(Uu * Vi, axis=1) + jnp.take(state.bU, u) + jnp.take(state.bV, i))
+            bU = bU.at[u].add(learning_rate * (err - bias_reg * jnp.take(state.bU, u)))
+            bV = bV.at[i].add(learning_rate * (err - bias_reg * jnp.take(state.bV, i)))
+
+        return _MFState(U, V, bU, bV, cu, cv), None
+
+    state, _ = jax.lax.scan(body, state, jax.random.split(key, n_chunks))
+    return state
+
+
+class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStopping):
+    ALGORITHM = "funk_svd"
+    USE_BIAS = False
+
+    def fit(
+        self,
+        epochs: int = 300,
+        num_factors: int = 10,
+        learning_rate: float = 0.001,
+        user_reg: float = 0.0,
+        item_reg: float = 0.0,
+        bias_reg: float = 0.0,
+        sgd_mode: str = "adagrad",
+        init_std: float = 0.1,
+        random_seed: int = 1234,
+        batch_size: int = 256,
+        samples_per_epoch: int = None,
+        **earlystopping_kwargs,
+    ):
+        rng = np.random.RandomState(random_seed)
+        K = int(num_factors)
+        self.num_factors = K
+
+        urm = self.URM_train
+        lens = np.ediff1d(urm.indptr)
+        warm = np.where(lens > 0)[0].astype(np.int32)
+        lmax = max(int(lens.max()) if len(lens) else 1, 1)
+        pad = np.zeros((self.n_users, lmax), dtype=np.int32)
+        for u in range(self.n_users):
+            s, e = urm.indptr[u], urm.indptr[u + 1]
+            pad[u, : e - s] = urm.indices[s:e]
+
+        self._urm_dev = self.device_urm().dense
+        self._warm = jnp.asarray(warm)
+        self._pad = jnp.asarray(pad)
+        self._lens = jnp.asarray(np.maximum(lens, 1).astype(np.int32))
+
+        self._state = _MFState(
+            U=jnp.asarray(rng.normal(0, init_std, (self.n_users, K)).astype(np.float32)),
+            V=jnp.asarray(rng.normal(0, init_std, (self.n_items, K)).astype(np.float32)),
+            bU=jnp.zeros((self.n_users,), jnp.float32),
+            bV=jnp.zeros((self.n_items,), jnp.float32),
+            cacheU=jnp.zeros((self.n_users,), jnp.float32),
+            cacheV=jnp.zeros((self.n_items,), jnp.float32),
+        )
+        self._key = jax.random.PRNGKey(random_seed)
+        self._chunk = int(batch_size)
+        n_samples = samples_per_epoch or max(self.n_users, urm.nnz // 4)
+        self._n_chunks = max(1, int(np.ceil(n_samples / self._chunk)))
+        self._lr = float(learning_rate)
+        self._regs = (float(user_reg), float(item_reg), float(bias_reg))
+        self._use_adagrad = sgd_mode == "adagrad"
+
+        self._update_best_model()
+        self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
+        self.USER_factors = self.USER_factors_best
+        self.ITEM_factors = self.ITEM_factors_best
+        self.use_bias = False
+        self._invalidate_device_cache()
+
+    def _run_epoch(self, num_epoch):
+        self._key, sub = jax.random.split(self._key)
+        self._state = _mf_epoch(
+            self._state, self._urm_dev, self._warm, self._pad, self._lens, sub,
+            self._lr, *self._regs,
+            n_chunks=self._n_chunks, chunk=self._chunk,
+            algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self.USE_BIAS,
+        )
+
+    def _prepare_model_for_validation(self):
+        self.USER_factors = np.asarray(self._state.U)
+        self.ITEM_factors = np.asarray(self._state.V)
+        self.use_bias = False
+        self._invalidate_device_cache()
+
+    def _update_best_model(self):
+        if hasattr(self, "_state"):
+            self.USER_factors_best = np.asarray(self._state.U)
+            self.ITEM_factors_best = np.asarray(self._state.V)
+        else:
+            self.USER_factors_best = self.USER_factors
+            self.ITEM_factors_best = self.ITEM_factors
+
+
+class MatrixFactorization_BPR(_MFSGDBase):
+    """BPR-MF (reference MatrixFactorization_Cython.py:172)."""
+
+    RECOMMENDER_NAME = "MF_BPR_Recommender"
+    ALGORITHM = "bpr"
+
+
+class MatrixFactorization_FunkSVD(_MFSGDBase):
+    """FunkSVD pointwise MF (reference MatrixFactorization_Cython.py:193)."""
+
+    RECOMMENDER_NAME = "MF_FunkSVD_Recommender"
+    ALGORITHM = "funk_svd"
+
+
+class MatrixFactorization_AsySVD(_MFSGDBase):
+    """AsySVD with biases (reference MatrixFactorization_Cython.py:220)."""
+
+    RECOMMENDER_NAME = "MF_AsySVD_Recommender"
+    ALGORITHM = "asy_svd"
+    USE_BIAS = True

@@ -1,0 +1,94 @@
+"""Tests for the extended model inventory: NMF, EASE-R, MF-SGD family,
+predefined lists, cold-user fallbacks."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from ganmf_tpu.eval import EvaluatorHoldout
+from ganmf_tpu.models import (
+    EASE_R_Recommender,
+    MatrixFactorization_AsySVD,
+    MatrixFactorization_BPR,
+    MatrixFactorization_FunkSVD,
+    NMFRecommender,
+    PredefinedListRecommender,
+    PureSVDRecommender,
+)
+from ganmf_tpu.models.base import compute_W_sparse_from_item_latent_factors
+
+
+def _map_at5(model, test):
+    results, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(model)
+    return results[5]["MAP"]
+
+
+def test_nmf_nonnegative_and_scores(urm_pair):
+    train, test = urm_pair
+    model = NMFRecommender(train)
+    model.fit(num_factors=8, n_iter=50)
+    assert np.all(model.USER_factors >= 0)
+    assert np.all(model.ITEM_factors >= 0)
+    assert np.isfinite(_map_at5(model, test))
+
+
+def test_ease_r(urm_pair):
+    train, test = urm_pair
+    model = EASE_R_Recommender(train)
+    model.fit(l2_norm=10.0)
+    assert np.all(model.W_sparse.diagonal() == 0)
+    assert _map_at5(model, test) > 0
+
+
+def test_mf_sgd_family(urm_pair):
+    train, test = urm_pair
+    for cls in (MatrixFactorization_BPR, MatrixFactorization_FunkSVD, MatrixFactorization_AsySVD):
+        model = cls(train)
+        model.fit(epochs=10, num_factors=8, learning_rate=0.05, batch_size=32)
+        assert np.isfinite(_map_at5(model, test)), cls.__name__
+
+
+def test_predefined_list():
+    rec = sps.csr_matrix(np.array([[5, 3, 0], [2, 0, 0]], dtype=np.int32))
+    model = PredefinedListRecommender(rec)
+    assert model.recommend(0, cutoff=2) == [5, 3]
+    assert model.recommend([0, 1], cutoff=1) == [[5], [2]]
+
+
+def test_w_sparse_from_item_factors():
+    rng = np.random.RandomState(0)
+    V = rng.randn(20, 4).astype(np.float32)
+    W = compute_W_sparse_from_item_latent_factors(V, topK=5)
+    dense = np.asarray(W.todense())
+    expected = V @ V.T
+    # each column holds its top-5 values
+    for j in range(20):
+        nz = dense[:, j] != 0
+        assert nz.sum() <= 5
+        top = np.sort(expected[:, j])[-5:]
+        assert set(np.round(dense[nz, j], 4)) <= set(np.round(top, 4))
+
+
+def test_cold_user_fallbacks(urm_pair):
+    train, test = urm_pair
+    model = PureSVDRecommender(train)
+    model.fit(num_factors=6)
+
+    # knock out some users' training data -> cold in new URM
+    new_train = train.tolil()
+    new_train[0, :] = 0
+    new_train[1, :] = 0
+    new_train = new_train.tocsr()
+
+    model.set_URM_train(new_train, estimate_model_for_cold_users="itemKNN", topK=10)
+    scores = model._compute_item_score(np.array([0, 1, 2]))
+    # users 0,1 cold for MF but scored through the KNN fallback only if they
+    # have interactions (they don't) -> -inf; user 2 warm -> finite
+    assert np.all(np.isinf(scores[0])) and np.all(np.isinf(scores[1]))
+    assert np.isfinite(scores[2]).all()
+
+    model2 = PureSVDRecommender(train)
+    model2.fit(num_factors=6)
+    model2.set_URM_train(train, estimate_model_for_cold_users="mean_item_factors")
+    scores2 = model2._compute_item_score(np.array([0, 1]))
+    assert np.isfinite(scores2).all()
