@@ -57,7 +57,12 @@ def main():
 
     params = _init_params(jax.random.PRNGKey(1337), *urm.shape, p["num_factors"], p["emb_dim"])
     d_state = ADAM.init(_d_params(params))
-    g_state = ADAM.init(_g_params(params))
+    g_state = (
+        ADAM.init((params.item_emb,)),
+        jnp.zeros_like(params.user_emb),
+        jnp.zeros_like(params.user_emb),
+        jnp.float32(0.0),
+    )
     n_batches, padded = make_batches(n_rows, p["batch_size"])
     weights = jnp.asarray(padded_weights(n_rows, padded))
     rng = np.random.RandomState(1337)

@@ -39,6 +39,9 @@ from ganmf_tpu.utils.seeding import set_seed
 
 def load_best_params(bp_dir: str, rec_name: str, mode: str, sim: str, dataset: str) -> dict:
     path = os.path.join(bp_dir, f"{rec_name}_{mode}{sim}_{dataset}", "best_params.pkl")
+    if not os.path.isfile(path):
+        # parameterless algorithms (TopPop) have no tuned params
+        return {}
     with open(path, "rb") as fh:
         return pickle.load(fh)
 

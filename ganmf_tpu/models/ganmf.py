@@ -104,9 +104,22 @@ def _losses(p: GANMFParams, uids, real, w, m, recon_coefficient, d_reg, g_reg):
 ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
 
+def _lazy_adam_rows(param, g, m, v, row_mask, lr, t, b1=0.9, b2=0.999, eps=1e-8):
+    """TF1 sparse-Adam semantics for embedding-lookup gradients: moments and
+    parameter updates touch only the batch's rows (the reference's
+    user_embeddings go through tf.nn.embedding_lookup, GANMF.py:82, so TF
+    routes them to AdamOptimizer._apply_sparse)."""
+    mask = row_mask[:, None]
+    m = jnp.where(mask > 0, b1 * m + (1 - b1) * g, m)
+    v = jnp.where(mask > 0, b2 * v + (1 - b2) * g * g, v)
+    lr_t = lr * jnp.sqrt(1 - b2**t) / (1 - b1**t)
+    upd = jnp.where(mask > 0, lr_t * m / (jnp.sqrt(v) + eps), 0.0)
+    return param - upd, m, v
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps"),
+    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "lazy_user_adam"),
 )
 def ganmf_epoch(
     params: GANMFParams,
@@ -125,6 +138,7 @@ def ganmf_epoch(
     batch_size: int,
     d_steps: int,
     g_steps: int,
+    lazy_user_adam: bool = False,
 ):
     def get_batch(step):
         b = step % n_batches
@@ -154,12 +168,28 @@ def ganmf_epoch(
 
     def g_body(carry, step):
         p, g_state, loss_acc = carry
+        item_state, m_u, v_u, t = g_state
         uids, real, w = get_batch(step)
         gloss, grads = jax.value_and_grad(g_loss_fn)(_g_params(p), p, uids, real, w)
-        updates, g_state = ADAM.update(grads, g_state, _g_params(p))
-        new_g = jax.tree_util.tree_map(lambda t, u: t - g_lr * u, _g_params(p), updates)
-        p = p._replace(user_emb=new_g[0], item_emb=new_g[1])
-        return (p, g_state, loss_acc + gloss), None
+
+        # TF1 Adam applies *dense* variable updates even for lookup (sparse)
+        # gradients, so dense Adam is the faithful default; lazy row-masked
+        # updates are available as a variant.
+        t = t + 1.0
+        if lazy_user_adam:
+            row_mask = jnp.zeros((p.user_emb.shape[0],), jnp.float32).at[uids].max(w)
+            user_emb, m_u, v_u = _lazy_adam_rows(p.user_emb, grads[0], m_u, v_u, row_mask, g_lr, t)
+        else:
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            m_u = b1 * m_u + (1 - b1) * grads[0]
+            v_u = b2 * v_u + (1 - b2) * grads[0] ** 2
+            lr_t = g_lr * jnp.sqrt(1 - b2**t) / (1 - b1**t)
+            user_emb = p.user_emb - lr_t * m_u / (jnp.sqrt(v_u) + eps)
+        updates, item_state = ADAM.update((grads[1],), item_state, (p.item_emb,))
+        item_emb = p.item_emb - g_lr * updates[0]
+
+        p = p._replace(user_emb=user_emb, item_emb=item_emb)
+        return (p, (item_state, m_u, v_u, t), loss_acc + gloss), None
 
     (params, d_opt_state, d_loss_sum), _ = jax.lax.scan(
         d_body, (params, d_opt_state, 0.0), jnp.arange(d_steps * n_batches)
@@ -195,6 +225,7 @@ class GANMF(AdversarialRecommender):
         sample_every=None,
         validation_evaluator=None,
         validation_set=None,
+        lazy_user_adam: bool = False,
     ):
         self.config = dict(
             num_factors=num_factors, emb_dim=emb_dim, epochs=epochs, batch_size=batch_size,
@@ -211,7 +242,12 @@ class GANMF(AdversarialRecommender):
         self.params = _init_params(key, n_rows, n_cols, self.num_factors, self.emb_dim)
 
         d_state = ADAM.init(_d_params(self.params))
-        g_state = ADAM.init(_g_params(self.params))
+        g_state = (
+            ADAM.init((self.params.item_emb,)),
+            jnp.zeros_like(self.params.user_emb),
+            jnp.zeros_like(self.params.user_emb),
+            jnp.float32(0.0),
+        )
 
         n_batches, padded = make_batches(n_rows, int(batch_size))
         weights = jnp.asarray(padded_weights(n_rows, padded))
@@ -229,6 +265,7 @@ class GANMF(AdversarialRecommender):
                 d_reg=float(d_reg), g_reg=float(g_reg),
                 n_batches=n_batches, batch_size=int(batch_size),
                 d_steps=int(d_steps), g_steps=int(g_steps),
+                lazy_user_adam=bool(lazy_user_adam),
             )
             self.train_d_loss.append(float(dl))
             self.train_g_loss.append(float(gl))

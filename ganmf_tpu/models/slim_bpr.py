@@ -72,8 +72,15 @@ def _bpr_epoch(
         j = cand[jnp.arange(chunk), first_ok]
 
         P = jnp.take(urm, u, axis=0)  # [C, I] seen mask
-        Wi = jnp.take(state.W, i, axis=0)
-        Wj = jnp.take(state.W, j, axis=0)
+        if symmetric:
+            # the reference's triangular storage receives only row-oriented
+            # writes; the shared cell {a, b} therefore reads as
+            # W[a, b] + W[b, a] (SLIM_BPR_Cython_Epoch.pyx:1234+)
+            Wi = jnp.take(state.W, i, axis=0) + jnp.take(state.W, i, axis=1).T
+            Wj = jnp.take(state.W, j, axis=0) + jnp.take(state.W, j, axis=1).T
+        else:
+            Wi = jnp.take(state.W, i, axis=0)
+            Wj = jnp.take(state.W, j, axis=0)
         x_uij = jnp.sum((Wi - Wj) * P, axis=1)
         g = 1.0 / (1.0 + jnp.exp(x_uij))  # [C]
 
@@ -102,18 +109,14 @@ def _bpr_epoch(
             g_upd = g
             new_cache, m1, m2, b1t, b2t = state.cache, state.m1, state.m2, state.beta1_t, state.beta2_t
 
-        # updates over the user's seen items, skipping the updated row's item
+        # updates over the user's seen items, skipping the updated row's item;
+        # all writes are row-oriented (symmetric reads handle the mirroring)
         not_i = P * (1 - jax.nn.one_hot(i, n_items, dtype=P.dtype))
         not_j = P * (1 - jax.nn.one_hot(j, n_items, dtype=P.dtype))
         delta_i = learning_rate * (g_upd[:, None] - li_reg * Wi) * not_i
         delta_j = -learning_rate * (g_upd[:, None] - lj_reg * Wj) * not_j
 
         W = state.W.at[i].add(delta_i).at[j].add(delta_j)
-        if symmetric:
-            # mirror to columns: the reference's triangular storage shares
-            # cell (a, b) with (b, a) (SLIM_BPR_Cython_Epoch.pyx:1234+)
-            W = W.at[:, i].add(delta_i.T).at[:, j].add(delta_j.T)
-
         return _OptState(W, new_cache, m1, m2, b1t, b2t), None
 
     keys = jax.random.split(key, n_chunks)
@@ -139,7 +142,7 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         gamma: float = 0.995,
         beta_1: float = 0.9,
         beta_2: float = 0.999,
-        chunk_size: int = 256,
+        chunk_size: int = 64,
         **earlystopping_kwargs,
     ):
         self.symmetric = symmetric
@@ -212,9 +215,15 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
 
     def _get_w_sparse(self, S: np.ndarray):
         S = np.asarray(S, dtype=np.float32).copy()
+        if self.symmetric:
+            S = S + S.T  # materialize the shared triangular cells
         np.fill_diagonal(S, 0.0)
-        # reference dense path: similarityMatrixTopK(S.T, k).T == row-wise topK
-        return check_matrix(similarity_matrix_topk(S.T, k=self.topK).T, "csr")
+        # the reference prunes twice: row-wise top-K inside get_S
+        # (SLIM_BPR_Cython_Epoch.pyx:1380-1412 / :404 dense path) and then
+        # column-wise top-K again in the wrapper
+        # (SLIM_BPR_Cython.py get_S_incremental_and_set_W)
+        row_pruned = similarity_matrix_topk(S.T, k=self.topK).T
+        return check_matrix(similarity_matrix_topk(row_pruned, k=self.topK), "csr")
 
     def _prepare_model_for_validation(self):
         self.W_sparse = self._get_w_sparse(np.asarray(self._state.W))
