@@ -20,6 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sps
 
 from ganmf_tpu.models.base import ItemSimilarityRecommender, check_matrix, similarity_matrix_topk
 from ganmf_tpu.models.early_stopping import IncrementalTrainingEarlyStopping
@@ -213,6 +214,18 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
             symmetric=self.symmetric,
         )
 
+    @staticmethod
+    def _zero_non_topk(A: np.ndarray, k: int, axis: int) -> np.ndarray:
+        """Keep only the top-k entries along `axis`, zeroing the rest."""
+        n = A.shape[axis]
+        if k >= n:
+            return A
+        top = np.argpartition(-A, k - 1, axis=axis)
+        drop = np.take(top, np.arange(k, n), axis=axis)
+        out = A.copy()
+        np.put_along_axis(out, drop, 0.0, axis=axis)
+        return out
+
     def _get_w_sparse(self, S: np.ndarray):
         S = np.asarray(S, dtype=np.float32).copy()
         if self.symmetric:
@@ -222,8 +235,9 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         # (SLIM_BPR_Cython_Epoch.pyx:1380-1412 / :404 dense path) and then
         # column-wise top-K again in the wrapper
         # (SLIM_BPR_Cython.py get_S_incremental_and_set_W)
-        row_pruned = similarity_matrix_topk(S.T, k=self.topK).T
-        return check_matrix(similarity_matrix_topk(row_pruned, k=self.topK), "csr")
+        S = self._zero_non_topk(S, self.topK, axis=1)
+        S = self._zero_non_topk(S, self.topK, axis=0)
+        return check_matrix(sps.csr_matrix(S), "csr")
 
     def _prepare_model_for_validation(self):
         self.W_sparse = self._get_w_sparse(np.asarray(self._state.W))

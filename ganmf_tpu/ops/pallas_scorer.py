@@ -1,0 +1,88 @@
+"""Pallas fused scoring + masked top-K.
+
+The serving path of every MF-family model is `top_k(mask(U_b @ V^T))`.
+XLA materializes the full [B, I] score matrix in HBM between the matmul
+and the ranking; this kernel streams item tiles through VMEM instead,
+fusing the MXU matmul, the seen-item masking and a running top-K merge —
+the [B, I] scores never touch HBM. At catalog sizes in the millions of
+items this removes the dominant HBM round-trip; at the reference datasets'
+sizes it is measurable but small (the matmul dominates).
+
+Grid: one program per item tile, executed sequentially on TPU; the output
+refs act as the running top-K accumulator across tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: int):
+    t = pl.program_id(0)
+
+    scores = jnp.dot(u_ref[:], v_ref[:].T, preferred_element_type=jnp.float32)  # [B, T]
+    scores = jnp.where(mask_ref[:] != 0, -jnp.inf, scores)
+
+    base = t * tile
+    col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+
+    @pl.when(t == 0)
+    def _():
+        vals_ref[:] = jnp.full_like(vals_ref[:], -jnp.inf)
+        idx_ref[:] = jnp.zeros_like(idx_ref[:])
+
+    cand_vals = jnp.concatenate([vals_ref[:], scores], axis=1)  # [B, k + T]
+    cand_idx = jnp.concatenate([idx_ref[:], col_ids], axis=1)
+    new_vals, pos = jax.lax.top_k(cand_vals, k)
+    vals_ref[:] = new_vals
+    idx_ref[:] = jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def masked_topk_scores(
+    user_factors: jnp.ndarray,  # [B, K]
+    item_factors: jnp.ndarray,  # [I, K]
+    seen_mask: jnp.ndarray,  # [B, I] nonzero = exclude
+    k: int,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Streaming top-k of masked MF scores. Returns (values [B,k], ids [B,k])."""
+    B, K = user_factors.shape
+    I = item_factors.shape[0]
+    pad = (-I) % tile
+    if pad:
+        item_factors = jnp.pad(item_factors, ((0, pad), (0, 0)))
+        seen_mask = jnp.pad(seen_mask.astype(jnp.int8), ((0, 0), (0, pad)), constant_values=1)
+    else:
+        seen_mask = seen_mask.astype(jnp.int8)
+    n_tiles = (I + pad) // tile
+
+    grid_spec = pl.GridSpec(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+    vals, idx = pl.pallas_call(
+        functools.partial(_scorer_kernel, k=k, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(user_factors.astype(jnp.float32), item_factors.astype(jnp.float32), seen_mask)
+    return vals, idx

@@ -32,6 +32,11 @@ CONFIGS = [
     ("PureSVD", "", ""),
     ("SLIMBPR", "", ""),
     ("ItemKNN", "", "cosine"),
+    ("ItemKNN", "", "jaccard"),
+    ("ItemKNN", "", "dice"),
+    ("ItemKNN", "", "tversky"),
+    ("ItemKNN", "", "euclidean"),
+    ("ItemKNN", "", "asymmetric"),
     ("P3Alpha", "", ""),
     ("TopPop", "", ""),
 ]

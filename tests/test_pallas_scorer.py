@@ -1,0 +1,26 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ganmf_tpu.ops.pallas_scorer import masked_topk_scores
+
+
+@pytest.mark.parametrize("I", [64, 96])  # non-multiple exercises tile padding
+def test_masked_topk_matches_dense(I):
+    rng = np.random.RandomState(0)
+    B, K, k = 8, 16, 5
+    U = rng.randn(B, K).astype(np.float32)
+    V = rng.randn(I, K).astype(np.float32)
+    mask = (rng.rand(B, I) < 0.2).astype(np.int8)
+
+    vals, idx = masked_topk_scores(
+        jnp.asarray(U), jnp.asarray(V), jnp.asarray(mask), k=k, tile=32, interpret=True
+    )
+    scores = U @ V.T
+    scores[mask.astype(bool)] = -np.inf
+    ref_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, ref_idx, axis=1), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
