@@ -71,6 +71,16 @@ def _similarity_topk(
             W = 1.0 / (jnp.log(dist + 1.0) + shrink + 1e-9)
         else:
             W = 1.0 / (dist + shrink + 1e-9)
+        # items with identical interaction sets have distance exactly 0, so
+        # euclidean similarity is full of large exact ties; lax.top_k's
+        # lowest-index tie-break would concentrate every tied neighborhood
+        # on the same few columns (the reference's argpartition spreads ties
+        # arbitrarily). A hashed relative perturbation (~1e-6) spreads ties
+        # deterministically without disturbing non-tied order.
+        rows_h = jax.lax.broadcasted_iota(jnp.uint32, W.shape, 0)
+        cols_h = jax.lax.broadcasted_iota(jnp.uint32, W.shape, 1)
+        h = (rows_h * jnp.uint32(2654435761) + cols_h * jnp.uint32(97777)) & jnp.uint32(0xFFFFF)
+        W = W * (1.0 + 1e-6 * (h.astype(jnp.float32) / float(1 << 20)))
         W = jnp.where(eye, 0.0, W)
     else:
         W = jnp.where(eye, 0.0, G)
@@ -102,6 +112,11 @@ def _similarity_topk(
             )
         elif shrink != 0:
             W = W / shrink
+
+    # cold-item pairs yield 0/0 = NaN under the normalizations; the
+    # reference leaves them in W but its sparse scoring never touches them
+    # — dense scoring would propagate them, so zero them here
+    W = jnp.where(jnp.isnan(W), 0.0, W)
 
     # W[i, j]: similarity of row-item i to column-item j; reference keeps the
     # top-K per *column* (note the reference normalizes with the column item
@@ -157,6 +172,10 @@ def compute_similarity(
     elif similarity in ("jaccard", "tanimoto", "dice", "tversky"):
         X.data = np.ones_like(X.data)
         mode = "jaccard" if similarity == "tanimoto" else similarity
+        # the binary-set similarities carry their own normalization; the
+        # reference force-disables cosine normalization for them
+        # (Compute_Similarity_Python.py:77-87)
+        normalize = False
     else:
         mode = similarity
 
