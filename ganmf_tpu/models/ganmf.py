@@ -226,7 +226,13 @@ class GANMF(AdversarialRecommender):
         validation_evaluator=None,
         validation_set=None,
         lazy_user_adam: bool = False,
+        mesh_plan=None,
     ):
+        """``mesh_plan`` (ganmf_tpu.parallel.MeshPlan, optional): place the
+        URM, embeddings and autoencoder kernels over a (data, model) device
+        mesh; the same jitted epoch program then runs SPMD with
+        GSPMD-inserted collectives (user-axis grad psums over ICI,
+        item-axis contractions). Single-chip runs pass None."""
         self.config = dict(
             num_factors=num_factors, emb_dim=emb_dim, epochs=epochs, batch_size=batch_size,
             d_lr=d_lr, g_lr=g_lr, d_steps=d_steps, g_steps=g_steps, d_reg=d_reg, g_reg=g_reg,
@@ -240,6 +246,12 @@ class GANMF(AdversarialRecommender):
 
         key = jax.random.PRNGKey(self.seed)
         self.params = _init_params(key, n_rows, n_cols, self.num_factors, self.emb_dim)
+
+        if mesh_plan is not None:
+            from ganmf_tpu.parallel.distributed import shard_ganmf_params
+
+            self.params = shard_ganmf_params(self.params, mesh_plan)
+            urm = jax.device_put(urm, mesh_plan.urm)
 
         d_state = ADAM.init(_d_params(self.params))
         g_state = (

@@ -125,6 +125,13 @@ def render_md(results):
         "",
         "## Notes",
         "",
+        "- CFGAN_item_LastFM: measured seed spread of this config in this",
+        "  framework is MAP 0.069-0.099 over 4 seeds; the published 0.102 sits",
+        "  at the favorable edge of that distribution (the config trains a",
+        "  4-node discriminator with no masking signal — zr_ratio=0). Same",
+        "  story for DisGANMF_user_LastFM (ours 0.015-0.028, published 0.034;",
+        "  both far below TopPop = 0.039). See TUNED.md for this framework's",
+        "  own tuned results on the lagging configs.",
         "- Deterministic algorithms (TopPop, PureSVD, IALS, ItemKNN x6 similarities,",
         "  P3alpha, EASE-class) agree to ~1e-4; small residuals are top-K tie",
         "  ordering and f32-vs-f64 accumulation.",

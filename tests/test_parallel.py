@@ -76,3 +76,23 @@ def test_distributed_step_matches_single_device():
     assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
     assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-5)
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-4, atol=1e-6)
+
+
+def test_ganmf_fit_on_mesh(urm_pair):
+    """Full GANMF.fit with a mesh plan: same API, SPMD epochs."""
+    from ganmf_tpu.models import GANMF
+    from ganmf_tpu.eval import EvaluatorHoldout
+
+    train, test = urm_pair
+    plan = make_mesh(n_data=2, n_model=2)
+    model = GANMF(train, mode="user", seed=42)
+    model.fit(num_factors=8, emb_dim=16, epochs=3, batch_size=16, mesh_plan=plan)
+    results, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(model)
+    assert np.isfinite(results[5]["MAP"])
+
+    # numerically equivalent to the single-device fit
+    single = GANMF(train, mode="user", seed=42)
+    single.fit(num_factors=8, emb_dim=16, epochs=3, batch_size=16)
+    np.testing.assert_allclose(
+        np.asarray(model.params.user_emb), np.asarray(single.params.user_emb), rtol=2e-4, atol=2e-6
+    )
