@@ -40,6 +40,14 @@ class AdversarialRecommender(Recommender):
         self.verbose = verbose
         self.is_experiment = is_experiment
         self.config: Optional[dict] = None
+        # reference keeps a per-run plots dir outside experiments
+        # (GANMF.py:40-45); created lazily on first artifact write
+        import datetime
+        import os
+
+        self.logsdir = os.path.join(
+            "plots", self.RECOMMENDER_NAME, datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+        )
 
         self.params = None  # current trainable pytree {"G": ..., "D": ...}
         self.best_params = None  # early-stopping snapshot
@@ -114,7 +122,27 @@ class AdversarialRecommender(Recommender):
 
             epoch += 1
 
+        if not self.is_experiment:
+            self._save_loss_plots()
+
         return epoch - 1 if self._stop_training else epoch
+
+    def _save_loss_plots(self):
+        """Loss-curve artifacts like the reference's plot sinks
+        (Utils_.plot_loss_acc, Utils_.py:109)."""
+        curves = {}
+        for name in ("train_d_loss", "train_g_loss", "train_pg_loss", "train_ng_loss"):
+            values = getattr(self, name, None)
+            if values:
+                curves[name] = values
+        if not curves:
+            return
+        import os
+
+        from ganmf_tpu.utils.analysis import plot_loss
+
+        plot_loss(curves, os.path.join(self.logsdir, "losses.png"), ylabel="loss",
+                  title=self.RECOMMENDER_NAME)
 
     # -- persistence ----------------------------------------------------------
     def _save_dict(self):

@@ -1,0 +1,97 @@
+"""Element-wise similarity-kernel checks against the reference formulas
+(Compute_Similarity_Python.py:209-383, Compute_Similarity_Euclidean.py)."""
+
+import numpy as np
+import pytest
+
+from ganmf_tpu.ops.similarity import compute_similarity
+from tests.conftest import random_urm
+
+
+@pytest.fixture(scope="module")
+def data():
+    urm = random_urm(60, 50, density=0.25, seed=12, implicit=False)
+    # add a couple of cold items (all-zero columns) to exercise NaN handling
+    dense = np.asarray(urm.todense())
+    dense[:, 7] = 0
+    dense[:, 23] = 0
+    import scipy.sparse as sps
+
+    return sps.csr_matrix(dense)
+
+
+def _dense_W(urm, **kwargs):
+    return np.asarray(compute_similarity(urm, topK=urm.shape[1], **kwargs).todense())
+
+
+def test_tversky_formula_and_forced_unnormalized(data):
+    """normalize=True must be overridden for the binary family
+    (reference constructor :77-87)."""
+    A = (np.asarray(data.todense()) != 0).astype(np.float64)
+    ss2 = A.sum(axis=0)
+    ta, tb, shrink = 0.7, 1.4, 5
+    got = _dense_W(data, similarity="tversky", shrink=shrink, normalize=True,
+                   tversky_alpha=ta, tversky_beta=tb)
+    G = A.T @ A
+    np.fill_diagonal(G, 0.0)
+    den = G + (ss2[None, :] - G) * ta + (ss2[:, None] - G) * tb + shrink + 1e-6
+    expected = G / den
+    np.fill_diagonal(expected, 0.0)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_jaccard_and_dice(data):
+    A = (np.asarray(data.todense()) != 0).astype(np.float64)
+    ss2 = A.sum(axis=0)
+    G = A.T @ A
+    np.fill_diagonal(G, 0.0)
+    expected_j = G / (ss2[:, None] + ss2[None, :] - G + 1e-6)
+    expected_d = G / (ss2[:, None] + ss2[None, :] + 1e-6)
+    np.fill_diagonal(expected_j, 0.0)
+    np.fill_diagonal(expected_d, 0.0)
+    np.testing.assert_allclose(_dense_W(data, similarity="jaccard", shrink=0, normalize=True), expected_j, atol=1e-5)
+    np.testing.assert_allclose(_dense_W(data, similarity="dice", shrink=0, normalize=True), expected_d, atol=1e-5)
+
+
+def test_asymmetric_orientation(data):
+    A = np.asarray(data.todense(), np.float64)
+    alpha = 0.8
+    ss = np.sqrt((A**2).sum(axis=0))
+    G = A.T @ A
+    np.fill_diagonal(G, 0.0)
+    # alpha weights the target column j (Compute_Similarity_Python.py:248-312)
+    den = np.power(ss, 2 * (1 - alpha))[:, None] * np.power(ss, 2 * alpha)[None, :] + 1e-6
+    expected = G / den
+    np.fill_diagonal(expected, 0.0)
+    got = _dense_W(data, similarity="asymmetric", shrink=0, normalize=True, asymmetric_alpha=alpha)
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def test_euclidean_no_nans_with_cold_items(data):
+    got = _dense_W(data, similarity="euclidean", shrink=2, normalize=True,
+                   similarity_from_distance_mode="exp")
+    assert np.isfinite(got).all()
+    # cold columns still produce rankings without poisoning others
+    A = np.asarray(data.todense(), np.float64)
+    ss2 = (A**2).sum(axis=0)
+    warm = np.where(ss2 > 0)[0][:5]
+    ss = np.sqrt(ss2)
+    for j in warm:
+        d = ss2 + ss2[j] - 2 * (A.T @ A[:, j])
+        d[j] = 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = d / (ss[j] * ss)
+        d = np.sqrt(np.maximum(d, 0))
+        s = 1.0 / (np.exp(d) + 2 + 1e-9)
+        s[j] = 0.0
+        s[~np.isfinite(s)] = 0.0
+        warm_rows = ss2 > 0
+        # tolerance covers the deliberate ~1e-6 relative tie-break jitter
+        np.testing.assert_allclose(got[warm_rows, j], s[warm_rows], rtol=1e-4)
+
+
+def test_pearson_and_adjusted_run(data):
+    for sim in ("pearson", "adjusted"):
+        W = _dense_W(data, similarity=sim, shrink=1, normalize=True)
+        assert np.isfinite(W).all()
+        assert np.all(np.diag(W) == 0)
