@@ -84,8 +84,28 @@ class AdversarialRecommender(Recommender):
         pass
 
     # -- shared epoch loop -----------------------------------------------------
+    def _checkpoint_state(self):
+        """Pytree persisted by the training checkpointer; subclasses extend
+        with optimizer state."""
+        return self.params
+
+    def _restore_checkpoint_state(self, state):
+        self.params = state
+
+    def resume_from_checkpoint(self) -> int:
+        """Restore the latest training checkpoint, returning the epoch to
+        continue from (1 when no checkpoint exists). Requires
+        ``self.checkpointer`` and the model to be mid-fit (params built)."""
+        if self.checkpointer is None:
+            return 1
+        latest = self.checkpointer.latest_epoch()
+        if latest is None:
+            return 1
+        self._restore_checkpoint_state(self.checkpointer.restore(latest, self._checkpoint_state()))
+        return latest + 1
+
     def _run_training_loop(self, epochs, validation_evaluator, validation_set, sample_every,
-                           allow_worse, freq, metrics, after, epoch_fn):
+                           allow_worse, freq, metrics, after, epoch_fn, start_epoch: int = 1):
         """The reference's fit() driver loop (GANMF.py:151-244).
 
         ``epoch_fn(epoch_index)`` runs one full epoch on device.
@@ -99,14 +119,14 @@ class AdversarialRecommender(Recommender):
                 freq=freq, metrics=metrics, after=after,
             )
 
-        epoch = 1
+        epoch = start_epoch
         while not self._stop_training and epoch < epochs + 1:
             epoch_fn(epoch)
 
             if self.metrics_logger is not None:
                 self.metrics_logger.log_epoch(epoch)
             if self.checkpointer is not None:
-                self.checkpointer.maybe_save(epoch, self.params)
+                self.checkpointer.maybe_save(epoch, self._checkpoint_state())
 
             if validation_set is not None and sample_every is not None and epoch % sample_every == 0:
                 results, results_string = validation_evaluator.evaluateRecommender(self)

@@ -253,13 +253,15 @@ class GANMF(AdversarialRecommender):
             self.params = shard_ganmf_params(self.params, mesh_plan)
             urm = jax.device_put(urm, mesh_plan.urm)
 
-        d_state = ADAM.init(_d_params(self.params))
-        g_state = (
+        self._d_state = ADAM.init(_d_params(self.params))
+        self._g_state = (
             ADAM.init((self.params.item_emb,)),
             jnp.zeros_like(self.params.user_emb),
             jnp.zeros_like(self.params.user_emb),
             jnp.float32(0.0),
         )
+
+        start_epoch = self.resume_from_checkpoint()
 
         n_batches, padded = make_batches(n_rows, int(batch_size))
         weights = jnp.asarray(padded_weights(n_rows, padded))
@@ -268,10 +270,9 @@ class GANMF(AdversarialRecommender):
         self.train_d_loss, self.train_g_loss = [], []
 
         def epoch_fn(epoch):
-            nonlocal d_state, g_state
             perm = jnp.asarray(shuffled_padded_perm(rng, n_rows, padded))
-            self.params, d_state, g_state, dl, gl = ganmf_epoch(
-                self.params, d_state, g_state, urm, perm, weights,
+            self.params, self._d_state, self._g_state, dl, gl = ganmf_epoch(
+                self.params, self._d_state, self._g_state, urm, perm, weights,
                 jnp.float32(d_lr), jnp.float32(g_lr),
                 m=float(m), recon_coefficient=float(recon_coefficient),
                 d_reg=float(d_reg), g_reg=float(g_reg),
@@ -284,10 +285,19 @@ class GANMF(AdversarialRecommender):
 
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,
-            allow_worse, freq, list(metrics), after, epoch_fn,
+            allow_worse, freq, list(metrics), after, epoch_fn, start_epoch=start_epoch,
         )
         self._invalidate_device_cache()
         return result
+
+    # -- crash resume (full training state) -----------------------------------
+    def _checkpoint_state(self):
+        return {"params": self.params, "d_state": self._d_state, "g_state": self._g_state}
+
+    def _restore_checkpoint_state(self, state):
+        self.params = GANMFParams(*state["params"])
+        self._d_state = state["d_state"]
+        self._g_state = state["g_state"]
 
     # -- scoring (reference GANMF.py:285-292) ---------------------------------
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:

