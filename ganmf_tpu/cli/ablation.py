@@ -135,14 +135,17 @@ def main(args: List[str]):
     study = args[1] if len(args) > 1 else "feature-matching"
     train_mode = "item" if "--item" in args else "user"
     epochs = None
+    bp_dir = "experiments"
     if "--epochs" in args:
         epochs = int(args[args.index("--epochs") + 1])
+    if "--bp" in args:
+        bp_dir = args[args.index("--bp") + 1]
 
     if study == "binGANMF":
         run_binGANMF(dataset, train_mode)
     elif study == "feature-matching":
-        feature_matching_coefficient(dataset, train_mode, epochs=epochs)
-        feature_matching_cos_sim(dataset, train_mode, epochs=epochs)
+        feature_matching_coefficient(dataset, train_mode, epochs=epochs, bp_dir=bp_dir)
+        feature_matching_cos_sim(dataset, train_mode, epochs=epochs, bp_dir=bp_dir)
     else:
         raise SystemExit(f"unknown study {study}")
 

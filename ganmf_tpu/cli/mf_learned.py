@@ -167,12 +167,15 @@ def main(args: List[str]):
     dataset = args[0]
     study = args[1] if len(args) > 1 else "latent"
     epochs = None
+    bp_dir = "experiments"
     if "--epochs" in args:
         epochs = int(args[args.index("--epochs") + 1])
+    if "--bp" in args:
+        bp_dir = args[args.index("--bp") + 1]
     if study == "latent":
-        latent_factors_study(dataset, epochs=epochs)
+        latent_factors_study(dataset, epochs=epochs, bp_dir=bp_dir)
     else:
-        mf_qualitative_study(dataset, epochs=epochs)
+        mf_qualitative_study(dataset, epochs=epochs, bp_dir=bp_dir)
 
 
 if __name__ == "__main__":
