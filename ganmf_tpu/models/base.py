@@ -305,6 +305,37 @@ class MatrixFactorizationRecommender(Recommender):
             self._cold_user_mask = profile_length == 0
             self._invalidate_device_cache()
 
+    def recommend_fused(self, user_id_array, cutoff: int = 20, remove_seen_flag: bool = True,
+                        tile: int = 512):
+        """Serving-scale ranking through the Pallas fused scorer: the [B, I]
+        score matrix never leaves VMEM (ganmf_tpu.ops.pallas_scorer).
+        Equivalent results to recommend() for MF models."""
+        from ganmf_tpu.ops.pallas_scorer import masked_topk_scores
+
+        user_id_array = np.atleast_1d(np.asarray(user_id_array))
+        uids = jnp.asarray(user_id_array, dtype=jnp.int32)
+        U, V, cold = self._factors_device()
+        if remove_seen_flag:
+            seen = jnp.take(self.device_train_mask(), uids, axis=0)
+        else:
+            seen = jnp.zeros((len(user_id_array), self.n_items), bool)
+        # TPU path compiles the kernel; CPU runs the interpreter
+        interpret = jax.default_backend() == "cpu"
+        vals, idx = masked_topk_scores(
+            jnp.take(U, uids, axis=0), V, seen, k=min(cutoff, self.n_items),
+            tile=min(tile, self.n_items), interpret=interpret,
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        cold_np = np.asarray(jnp.take(cold, uids))
+        out = []
+        for b in range(len(user_id_array)):
+            if cold_np[b]:
+                out.append([])
+            else:
+                finite = np.isfinite(vals[b])
+                out.append(idx[b][finite].tolist())
+        return out
+
     def _save_dict(self):
         return {
             "USER_factors": np.asarray(self.USER_factors),

@@ -26,7 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: int):
     t = pl.program_id(0)
 
-    scores = jnp.dot(u_ref[:], v_ref[:].T, preferred_element_type=jnp.float32)  # [B, T]
+    scores = jax.lax.dot_general(
+        u_ref[:], v_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B, T]
     scores = jnp.where(mask_ref[:] != 0, -jnp.inf, scores)
 
     base = t * tile
@@ -39,9 +44,21 @@ def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: i
 
     cand_vals = jnp.concatenate([vals_ref[:], scores], axis=1)  # [B, k + T]
     cand_idx = jnp.concatenate([idx_ref[:], col_ids], axis=1)
-    new_vals, pos = jax.lax.top_k(cand_vals, k)
-    vals_ref[:] = new_vals
-    idx_ref[:] = jnp.take_along_axis(cand_idx, pos, axis=1)
+
+    # lax.top_k does not lower in Mosaic; select the k maxima with an
+    # unrolled max/argmax sweep (k is small — a ranking cutoff), using
+    # masked reductions instead of gathers
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, cand_vals.shape, dimension=1)
+    sel_vals, sel_idx = [], []
+    for _ in range(k):
+        m = jnp.max(cand_vals, axis=1)  # [B]
+        am = jnp.argmax(cand_vals, axis=1)  # [B]
+        hit = pos_iota == am[:, None]
+        sel_vals.append(m)
+        sel_idx.append(jnp.sum(jnp.where(hit, cand_idx, 0), axis=1))
+        cand_vals = jnp.where(hit, -jnp.inf, cand_vals)
+    vals_ref[:] = jnp.stack(sel_vals, axis=1)
+    idx_ref[:] = jnp.stack(sel_idx, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
@@ -56,6 +73,10 @@ def masked_topk_scores(
     """Streaming top-k of masked MF scores. Returns (values [B,k], ids [B,k])."""
     B, K = user_factors.shape
     I = item_factors.shape[0]
+    if not interpret:
+        # Mosaic requires the lane (last) block dimension to be a multiple
+        # of 128
+        tile = max(128, (tile // 128) * 128)
     pad = (-I) % tile
     if pad:
         item_factors = jnp.pad(item_factors, ((0, pad), (0, 0)))

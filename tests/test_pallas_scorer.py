@@ -24,3 +24,15 @@ def test_masked_topk_matches_dense(I):
         np.asarray(vals), np.take_along_axis(scores, ref_idx, axis=1), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_recommend_fused_matches_recommend(urm_pair):
+    from ganmf_tpu.models import PureSVDRecommender
+
+    train, _ = urm_pair
+    model = PureSVDRecommender(train)
+    model.fit(num_factors=6)
+    users = np.arange(10)
+    regular = model.recommend(users, cutoff=7, remove_seen_flag=True)
+    fused = model.recommend_fused(users, cutoff=7, remove_seen_flag=True, tile=16)
+    assert fused == regular
