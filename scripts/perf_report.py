@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""Measure steady-state training/eval performance on the real chip and
+write PERF.md. Baseline wall-clock numbers come from the reference's
+committed test_results timing strings corrected for the timedelta unit bug
+(BASELINE.md)."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, n=5, warmup=1):
+    for _ in range(warmup):
+        fn()
+    t0 = time.time()
+    for _ in range(n):
+        out = fn()
+    try:
+        import jax
+
+        jax.block_until_ready(out)
+    except Exception:
+        pass
+    return (time.time() - t0) / n
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ganmf_tpu.data import load_reference_splits
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import (
+        CAAE, CFGAN, GANMF, DisGANMF, IALSRecommender, ItemKNNCFRecommender,
+        P3alphaRecommender, PureSVDRecommender, SLIM_BPR, TopPop,
+    )
+    from ganmf_tpu.models.extras import EASE_R_Recommender
+
+    rows = []
+
+    def record(name, seconds, note=""):
+        rows.append((name, seconds, note))
+        print(f"{name:45s} {seconds*1e3:10.2f} ms  {note}", flush=True)
+
+    for ds in ("1M", "LastFM"):
+        splits = load_reference_splits(ds)
+        train = splits.train
+        U, I = train.shape
+
+        # -- GANMF epoch (paper model config) ---------------------------------
+        model = GANMF(train, mode="user", seed=1337, is_experiment=True)
+        cfg = dict(num_factors=250, emb_dim=min(992, int(I * 0.75)), batch_size=64)
+        model.fit(epochs=1, **cfg)  # compile
+        t = timeit(lambda: model.fit(epochs=1, **cfg), n=3)
+        record(f"GANMF[{ds}] 1 epoch (K=250, b=64)", t,
+               "ref ~3.64 s/epoch (ML-1M GPU)" if ds == "1M" else "")
+
+        # -- other trainers, one epoch-ish unit --------------------------------
+        dm = DisGANMF(train, mode="user", seed=1, is_experiment=True)
+        dm.fit(epochs=1, num_factors=64, d_nodes=256, batch_size=128)
+        record(f"DisGANMF[{ds}] 1 epoch", timeit(lambda: dm.fit(epochs=1, num_factors=64, d_nodes=256, batch_size=128), n=3))
+
+        cf = CFGAN(train, mode="user", seed=1, is_experiment=True)
+        cfg_cf = dict(d_nodes=64, g_nodes=256, scheme="ZR", zr_ratio=0.3, zr_coefficient=0.1,
+                      d_batch_size=128, g_batch_size=128)
+        cf.fit(epochs=1, **cfg_cf)
+        record(f"CFGAN[{ds}] 1 epoch", timeit(lambda: cf.fit(epochs=1, **cfg_cf), n=3))
+
+        ca = CAAE(train, seed=1, is_experiment=True)
+        cfg_ca = dict(d_steps=2, g_steps=2, gpr_steps=2, g_units=100, num_factors=50,
+                      d_bsize=4096, m_batch=128)
+        ca.fit(epochs=1, **cfg_ca)
+        record(f"CAAE[{ds}] 1 epoch", timeit(lambda: ca.fit(epochs=1, **cfg_ca), n=2))
+
+        ials = IALSRecommender(train)
+        ials.fit(epochs=1, num_factors=50, alpha=5.0)
+        record(f"IALS[{ds}] 1 epoch (K=50)", timeit(lambda: ials._run_epoch(0), n=3),
+               "ref ~0.8 s/epoch (ML-1M)" if ds == "1M" else "")
+
+        slim = SLIM_BPR(train)
+        slim.fit(epochs=1, topK=478, learning_rate=0.05)
+        record(f"SLIM-BPR[{ds}] 1 epoch", timeit(lambda: slim._run_epoch(0), n=3),
+               "ref ~8.6 s/epoch (ML-1M)" if ds == "1M" else "")
+
+        # -- one-shot fits ------------------------------------------------------
+        record(f"PureSVD[{ds}] fit (K=50)", timeit(lambda: PureSVDRecommender(train).fit(num_factors=50), n=2),
+               "ref ~0.12 s (ML-1M)" if ds == "1M" else "")
+        record(f"ItemKNN[{ds}] cosine build (topK=300)",
+               timeit(lambda: ItemKNNCFRecommender(train).fit(topK=300, shrink=0), n=2))
+        record(f"P3alpha[{ds}] build (topK=300)",
+               timeit(lambda: P3alphaRecommender(train).fit(topK=300, alpha=0.9), n=2))
+        if ds == "1M":
+            record(f"EASE-R[{ds}] closed form", timeit(lambda: EASE_R_Recommender(train).fit(l2_norm=100.0), n=2))
+
+        # -- evaluation throughput ---------------------------------------------
+        tp = TopPop(train); tp.fit()
+        svd = PureSVDRecommender(train); svd.fit(num_factors=50)
+        ev = EvaluatorHoldout(splits.test, [5, 10, 20, 50])
+        ev.evaluateRecommender(svd)  # compile
+        t = timeit(lambda: ev.evaluateRecommender(svd), n=3)
+        n_users = len(ev.usersToEvaluate)
+        record(f"Eval[{ds}] {n_users} users x 4 cutoffs", t,
+               f"{n_users/t:,.0f} users/s (ref ~686 users/s on ML-1M)")
+
+    lines = [
+        "# PERF — measured on one TPU v5e chip",
+        "",
+        "Steady-state timings (compile excluded). Reference baselines from the",
+        "corrected test_results timing strings (BASELINE.md).",
+        "",
+        "| Benchmark | time | note |",
+        "|---|---|---|",
+    ]
+    for name, seconds, note in rows:
+        lines.append(f"| {name} | {seconds*1e3:.1f} ms | {note} |")
+    with open("PERF.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote PERF.md")
+
+
+if __name__ == "__main__":
+    main()
