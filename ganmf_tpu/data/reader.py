@@ -252,6 +252,8 @@ class DatasetConfig:
     delimiter: str = ","
     header: bool = False
     duplicate: str = "first"
+    remove_top_pop: float = 0.0
+    sample: float = 1.0
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -308,7 +310,16 @@ class InteractionReader:
             header=cfg.header,
             duplicate=cfg.duplicate,
         )
-        self.urm, self.row_to_user, self.col_to_item = build_urm(rows, cols, data)
+        self.urm, self.row_to_user, self.col_to_item = build_urm(
+            rows, cols, data, remove_top_pop=cfg.remove_top_pop
+        )
+
+        if cfg.sample != 1.0:
+            # user-wise random sampling with cold-item removal
+            # (reference DataReader.py:464-467)
+            n_keep = int(self.urm.shape[0] * cfg.sample)
+            keep_rows = np.random.randint(0, self.urm.shape[0], size=n_keep)
+            self.urm = _remove_coldstart_items(self.urm.tocsr()[keep_rows]).tocoo()
 
         if cfg.split:
             self.urm_train, self.urm_test, self.urm_validation = split_urm(

@@ -73,3 +73,61 @@ def test_cv_folds(tmp_path):
     # test sets partition the interactions
     te_sum = sum(te.nnz for _, te in folds)
     assert te_sum == total
+
+
+def test_ignore_items(urm_pair):
+    train, test = urm_pair
+    rng = np.random.RandomState(1)
+    scores = rng.randn(*train.shape).astype(np.float32)
+    model = StubModel(train, scores)
+    ignore = [0, 1, 2, 3, 4]
+    ev = EvaluatorHoldout(test, [5], ignore_items=ignore)
+    results, _ = ev.evaluateRecommender(model)
+    assert np.isfinite(results[5]["MAP"])
+    # coverage denominator excludes ignored items
+    ev_plain = EvaluatorHoldout(test, [5])
+    res_plain, _ = ev_plain.evaluateRecommender(model)
+    assert results[5]["COVERAGE_ITEM"] != res_plain[5]["COVERAGE_ITEM"]
+    # ignored items never recommended
+    recs = model.recommend(np.arange(5), cutoff=10, remove_CustomItems_flag=True)
+    model.set_items_to_ignore(ignore)
+    recs = model.recommend(np.arange(5), cutoff=10, remove_CustomItems_flag=True)
+    for r in recs:
+        assert not (set(r) & set(ignore))
+
+
+def test_gan_item_mode_early_stopping(urm_pair):
+    from ganmf_tpu.models import GANMF
+
+    train, test = urm_pair
+    ev = EvaluatorHoldout(test, [5])
+    model = GANMF(train, mode="item", seed=0)
+    last = model.fit(num_factors=6, emb_dim=12, epochs=30, batch_size=16,
+                     allow_worse=1, freq=2, validation_evaluator=ev)
+    assert model.best_params is not None
+    scores = model._compute_item_score(np.arange(4))
+    assert scores.shape == (4, train.shape[1])
+
+
+def test_reader_remove_top_pop_and_sample(tmp_path):
+    from ganmf_tpu.data.reader import DatasetConfig, InteractionReader
+
+    path = tmp_path / "r.csv"
+    rng = np.random.RandomState(0)
+    lines = []
+    for u in range(40):
+        for i in rng.choice(30, size=10, replace=False):
+            lines.append(f"{u},{i},1")
+        lines.append(f"{u},29,1")  # make item 29 most popular
+    path.write_text("\n".join(set(lines)))
+
+    np.random.seed(0)
+    cfg = DatasetConfig(remove_top_pop=0.1, split=False)
+    reader = InteractionReader(str(path), config=cfg).process()
+    # 10% most popular items dropped -> fewer columns
+    assert reader.urm.shape[1] <= 27
+
+    np.random.seed(0)
+    cfg2 = DatasetConfig(sample=0.5, split=False)
+    reader2 = InteractionReader(str(path), config=cfg2).process()
+    assert reader2.urm.shape[0] <= 20
