@@ -52,30 +52,34 @@ def main():
         train = splits.train
         U, I = train.shape
 
-        # -- GANMF epoch (paper model config) ---------------------------------
-        model = GANMF(train, mode="user", seed=1337, is_experiment=True)
+        # -- GAN trainers: steady-state epoch via fit-duration differencing
+        # (fit() includes host setup + device transfer; (t_N - t_1)/(N-1)
+        # isolates the per-epoch device time)
+        def epoch_time(make_model, fit_kwargs, n_epochs=21):
+            m = make_model()
+            m.fit(epochs=1, **fit_kwargs)  # compile
+            t1 = timeit(lambda: make_model().fit(epochs=1, **fit_kwargs), n=1, warmup=0)
+            tn = timeit(lambda: make_model().fit(epochs=n_epochs, **fit_kwargs), n=1, warmup=0)
+            return max(tn - t1, 1e-9) / (n_epochs - 1)
+
         cfg = dict(num_factors=250, emb_dim=min(992, int(I * 0.75)), batch_size=64)
-        model.fit(epochs=1, **cfg)  # compile
-        t = timeit(lambda: model.fit(epochs=1, **cfg), n=3)
-        record(f"GANMF[{ds}] 1 epoch (K=250, b=64)", t,
+        t = epoch_time(lambda: GANMF(train, mode="user", seed=1337, is_experiment=True), cfg)
+        record(f"GANMF[{ds}] steady epoch (K=250, b=64)", t,
                "ref ~3.64 s/epoch (ML-1M GPU)" if ds == "1M" else "")
 
-        # -- other trainers, one epoch-ish unit --------------------------------
-        dm = DisGANMF(train, mode="user", seed=1, is_experiment=True)
-        dm.fit(epochs=1, num_factors=64, d_nodes=256, batch_size=128)
-        record(f"DisGANMF[{ds}] 1 epoch", timeit(lambda: dm.fit(epochs=1, num_factors=64, d_nodes=256, batch_size=128), n=3))
+        t = epoch_time(lambda: DisGANMF(train, mode="user", seed=1, is_experiment=True),
+                       dict(num_factors=64, d_nodes=256, batch_size=128))
+        record(f"DisGANMF[{ds}] steady epoch", t)
 
-        cf = CFGAN(train, mode="user", seed=1, is_experiment=True)
         cfg_cf = dict(d_nodes=64, g_nodes=256, scheme="ZR", zr_ratio=0.3, zr_coefficient=0.1,
                       d_batch_size=128, g_batch_size=128)
-        cf.fit(epochs=1, **cfg_cf)
-        record(f"CFGAN[{ds}] 1 epoch", timeit(lambda: cf.fit(epochs=1, **cfg_cf), n=3))
+        t = epoch_time(lambda: CFGAN(train, mode="user", seed=1, is_experiment=True), cfg_cf)
+        record(f"CFGAN[{ds}] steady epoch", t)
 
-        ca = CAAE(train, seed=1, is_experiment=True)
         cfg_ca = dict(d_steps=2, g_steps=2, gpr_steps=2, g_units=100, num_factors=50,
                       d_bsize=4096, m_batch=128)
-        ca.fit(epochs=1, **cfg_ca)
-        record(f"CAAE[{ds}] 1 epoch", timeit(lambda: ca.fit(epochs=1, **cfg_ca), n=2))
+        t = epoch_time(lambda: CAAE(train, seed=1, is_experiment=True), cfg_ca, n_epochs=11)
+        record(f"CAAE[{ds}] steady epoch", t)
 
         ials = IALSRecommender(train)
         ials.fit(epochs=1, num_factors=50, alpha=5.0)
