@@ -50,6 +50,12 @@ def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
     n = item_weights.shape[1]
     k = min(k, n)
 
+    # the per-column python loop on sparse input carries python overhead;
+    # densifying wins up to mid-size item counts (beyond that the [n, n]
+    # materialization + full argpartition costs more than the loop)
+    if sps.issparse(item_weights) and n <= 8192:
+        item_weights = np.asarray(item_weights.todense(), dtype=np.float32)
+
     if not sps.issparse(item_weights):
         A = np.asarray(item_weights, dtype=np.float32)
         if k < n:

@@ -154,7 +154,7 @@ class AdversarialRecommender(Recommender):
         for name in ("train_d_loss", "train_g_loss", "train_pg_loss", "train_ng_loss"):
             values = getattr(self, name, None)
             if values:
-                curves[name] = values
+                curves[name] = [float(v) for v in values]
         if not curves:
             return
         import os

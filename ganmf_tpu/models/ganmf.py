@@ -280,8 +280,9 @@ class GANMF(AdversarialRecommender):
                 d_steps=int(d_steps), g_steps=int(g_steps),
                 lazy_user_adam=bool(lazy_user_adam),
             )
-            self.train_d_loss.append(float(dl))
-            self.train_g_loss.append(float(gl))
+            # keep device scalars; converting would force a sync per epoch
+            self.train_d_loss.append(dl)
+            self.train_g_loss.append(gl)
 
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,

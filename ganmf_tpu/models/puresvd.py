@@ -22,13 +22,23 @@ from ganmf_tpu.models.base import MatrixFactorizationRecommender
 def _randomized_svd(A: jnp.ndarray, key, num_factors: int, n_oversample: int = 10, n_iter: int = 7):
     k = num_factors + n_oversample
     hi = jax.lax.Precision.HIGHEST
+
+    def _colnorm(Y):
+        # cheap per-column normalization between power iterations; QR (slow
+        # on TPU: serial Householder) is reserved for every third iteration
+        # and the final range extraction
+        return Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True), 1e-12)
+
     omega = jax.random.normal(key, (A.shape[1], k), dtype=A.dtype)
     Y = jnp.dot(A, omega, precision=hi)
-    for _ in range(n_iter):
-        Q, _ = jnp.linalg.qr(Y)
-        Z = jnp.dot(A.T, Q, precision=hi)
-        Q, _ = jnp.linalg.qr(Z)
-        Y = jnp.dot(A, Q, precision=hi)
+    for it in range(n_iter):
+        if it % 3 == 2:
+            Y, _ = jnp.linalg.qr(Y)
+        else:
+            Y = _colnorm(Y)
+        Z = jnp.dot(A.T, Y, precision=hi)
+        Z = _colnorm(Z)
+        Y = jnp.dot(A, Z, precision=hi)
     Q, _ = jnp.linalg.qr(Y)
     B = jnp.dot(Q.T, A, precision=hi)  # [k, I]
     Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
