@@ -55,11 +55,18 @@ def main():
         # -- GAN trainers: steady-state epoch via fit-duration differencing
         # (fit() includes host setup + device transfer; (t_N - t_1)/(N-1)
         # isolates the per-epoch device time)
-        def epoch_time(make_model, fit_kwargs, n_epochs=21):
-            m = make_model()
-            m.fit(epochs=1, **fit_kwargs)  # compile
-            t1 = timeit(lambda: make_model().fit(epochs=1, **fit_kwargs), n=1, warmup=0)
-            tn = timeit(lambda: make_model().fit(epochs=n_epochs, **fit_kwargs), n=1, warmup=0)
+        def epoch_time(make_model, fit_kwargs, n_epochs=41):
+            # value readback is the only honest device sync on this backend
+            def run(n):
+                m = make_model()
+                t0 = time.time()
+                m.fit(epochs=n, **fit_kwargs)
+                leaf = jax.tree_util.tree_leaves(m.params)[0]
+                float(jnp.sum(leaf))
+                return time.time() - t0
+            run(1)  # compile
+            t1 = min(run(1) for _ in range(2))
+            tn = run(n_epochs)
             return max(tn - t1, 1e-9) / (n_epochs - 1)
 
         cfg = dict(num_factors=250, emb_dim=min(992, int(I * 0.75)), batch_size=64)
@@ -83,12 +90,22 @@ def main():
 
         ials = IALSRecommender(train)
         ials.fit(epochs=1, num_factors=50, alpha=5.0)
-        record(f"IALS[{ds}] 1 epoch (K=50)", timeit(lambda: ials._run_epoch(0), n=3),
+
+        def ials_epoch():
+            ials._run_epoch(0)
+            return float(jnp.sum(ials._U_dev))
+
+        record(f"IALS[{ds}] 1 epoch (K=50)", timeit(ials_epoch, n=3),
                "ref ~0.8 s/epoch (ML-1M)" if ds == "1M" else "")
 
         slim = SLIM_BPR(train)
         slim.fit(epochs=1, topK=478, learning_rate=0.05)
-        record(f"SLIM-BPR[{ds}] 1 epoch", timeit(lambda: slim._run_epoch(0), n=3),
+
+        def slim_epoch():
+            slim._run_epoch(0)
+            return float(jnp.sum(slim._state.cache))
+
+        record(f"SLIM-BPR[{ds}] 1 epoch", timeit(slim_epoch, n=3),
                "ref ~8.6 s/epoch (ML-1M)" if ds == "1M" else "")
 
         # -- one-shot fits ------------------------------------------------------
