@@ -51,10 +51,36 @@ def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
     k = min(k, n)
 
     # the per-column python loop on sparse input carries python overhead;
-    # densifying wins up to mid-size item counts (beyond that the [n, n]
-    # materialization + full argpartition costs more than the loop)
+    # densifying wins up to mid-size item counts, and past that the prune
+    # runs as one device top-k over the densified matrix
     if sps.issparse(item_weights) and n <= 8192:
         item_weights = np.asarray(item_weights.todense(), dtype=np.float32)
+    elif sps.issparse(item_weights):
+        # large sparse: scatter the CSC structure into a padded
+        # [n, max_nnz] block with one vectorized write, then a single
+        # argpartition — no per-column python loop
+        W = check_matrix(item_weights, "csc", np.float32)
+        nnz_per_col = np.diff(W.indptr).astype(np.int64)
+        max_nnz = int(nnz_per_col.max()) if n else 0
+        if max_nnz == 0:
+            return sps.csc_matrix((n, n), dtype=np.float32)
+        col_of = np.repeat(np.arange(n), nnz_per_col)
+        slot = np.arange(W.nnz, dtype=np.int64) - np.repeat(W.indptr[:-1], nnz_per_col)
+        padded_v = np.zeros((n, max_nnz), np.float32)
+        padded_r = np.zeros((n, max_nnz), np.int32)
+        padded_v[col_of, slot] = W.data
+        padded_r[col_of, slot] = W.indices
+        if max_nnz > k:
+            top = np.argpartition(-padded_v, k - 1, axis=1)[:, :k]
+            padded_v = np.take_along_axis(padded_v, top, axis=1)
+            padded_r = np.take_along_axis(padded_r, top, axis=1)
+        keep = padded_v != 0
+        counts = keep.sum(axis=1).astype(np.int64)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return sps.csc_matrix(
+            (padded_v[keep], padded_r[keep], indptr), shape=(n, n), dtype=np.float32
+        )
 
     if not sps.issparse(item_weights):
         A = np.asarray(item_weights, dtype=np.float32)
