@@ -311,7 +311,11 @@ class RecSysExp:
                 fh.write(f"Experiment ran for {t_end - t_start} seconds\n")
                 fh.write(f"Best {self.metric} score: {results.fun}. Best result found at: {best_params}\n")
 
-        with open(os.path.join(self.logsdir, "best_params.pkl"), "rb") as fh:
+        bp_path = os.path.join(self.logsdir, "best_params.pkl")
+        if not os.path.exists(bp_path):
+            # parameterless algorithms (TopPop): record an empty config
+            self.save_best_params()
+        with open(bp_path, "rb") as fh:
             d = pickle.load(fh)
         with open(os.path.join(self.logsdir, "best_params.txt"), "w") as fh:
             fh.write(json.dumps(d, default=str))
