@@ -121,3 +121,14 @@ def describe_urm(urm, name: str = "URM") -> Dict[str, float]:
         "cold_items": int((item_counts == 0).sum()),
     }
     return stats
+
+
+def estimate_sparse_size(n_rows: int, n_cols: int, density: float, dtype_bytes: int = 4,
+                         index_bytes: int = 4) -> float:
+    """Estimated CSR memory footprint in MB
+    (reference Utils/estimate_sparse_size.py)."""
+    nnz = n_rows * n_cols * density
+    data = nnz * dtype_bytes
+    indices = nnz * index_bytes
+    indptr = (n_rows + 1) * index_bytes
+    return (data + indices + indptr) / 2**20
