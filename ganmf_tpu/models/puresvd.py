@@ -18,31 +18,41 @@ import numpy as np
 from ganmf_tpu.models.base import MatrixFactorizationRecommender
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cholqr(Y):
+    """One CholeskyQR pass: Q = Y R^-1 with R = chol(Y^T Y)^T.
+
+    Matmul + small-triangular-solve only — the MXU-friendly replacement
+    for Householder QR, which is serial and slow on TPU."""
+    G = jnp.dot(Y.T, Y, precision=_HI)
+    G = G + 1e-7 * jnp.trace(G) / G.shape[0] * jnp.eye(G.shape[0], dtype=Y.dtype)
+    L = jnp.linalg.cholesky(G)
+    # Y = Q L^T  =>  Q = Y L^-T : solve L Q^T = Y^T
+    Qt = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True)
+    return Qt.T
+
+
+def _cholqr2(Y):
+    """CholeskyQR2: two passes give near-Householder orthogonality."""
+    return _cholqr(_cholqr(Y))
+
+
 @functools.partial(jax.jit, static_argnames=("num_factors", "n_oversample", "n_iter"))
 def _randomized_svd(A: jnp.ndarray, key, num_factors: int, n_oversample: int = 10, n_iter: int = 7):
     k = num_factors + n_oversample
-    hi = jax.lax.Precision.HIGHEST
-
-    def _colnorm(Y):
-        # cheap per-column normalization between power iterations; QR (slow
-        # on TPU: serial Householder) is reserved for every third iteration
-        # and the final range extraction
-        return Y / jnp.maximum(jnp.linalg.norm(Y, axis=0, keepdims=True), 1e-12)
-
     omega = jax.random.normal(key, (A.shape[1], k), dtype=A.dtype)
-    Y = jnp.dot(A, omega, precision=hi)
-    for it in range(n_iter):
-        if it % 3 == 2:
-            Y, _ = jnp.linalg.qr(Y)
-        else:
-            Y = _colnorm(Y)
-        Z = jnp.dot(A.T, Y, precision=hi)
-        Z = _colnorm(Z)
-        Y = jnp.dot(A, Z, precision=hi)
-    Q, _ = jnp.linalg.qr(Y)
-    B = jnp.dot(Q.T, A, precision=hi)  # [k, I]
+    Y = jnp.dot(A, omega, precision=_HI)
+    for _ in range(n_iter):
+        Y = _cholqr(Y)
+        Z = jnp.dot(A.T, Y, precision=_HI)
+        Z = _cholqr(Z)
+        Y = jnp.dot(A, Z, precision=_HI)
+    Q = _cholqr2(Y)
+    B = jnp.dot(Q.T, A, precision=_HI)  # [k, I]
     Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
-    U = jnp.dot(Q, Ub, precision=hi)
+    U = jnp.dot(Q, Ub, precision=_HI)
     return U[:, :num_factors], S[:num_factors], Vt[:num_factors]
 
 
