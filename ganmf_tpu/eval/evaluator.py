@@ -55,9 +55,15 @@ class _BaseEvaluator:
         diversity_object=None,
         ignore_items=None,
         ignore_users=None,
+        mesh_plan=None,
     ):
         if isinstance(URM_test, list):
             raise ValueError("List of URM_test not supported")
+
+        # Optional multi-chip plan: each chip ranks its user shard of every
+        # block; when items are model-sharded too, ranking goes through the
+        # all-gather top-k merge (SURVEY §2.9 "sharded top-K evaluation").
+        self._plan = mesh_plan
 
         self.URM_test = sps.csr_matrix(URM_test).copy()
         self.URM_test.eliminate_zeros()
@@ -126,6 +132,10 @@ class _BaseEvaluator:
         pop_norm = jnp.asarray(normalized_popularity(urm_train), dtype=jnp.float32)
 
         block_size = int(min(1000, max(1, 1e8 / max(self.n_items, 1))))
+        if self._plan is not None:
+            # shard_map needs the user-block dimension to divide evenly
+            shards = self._plan.n_user_shards
+            block_size = int(np.ceil(block_size / shards) * shards)
         users = np.asarray(self.usersToEvaluate, dtype=np.int64)
         n_eval = len(users)
         cutoffs = tuple(self.cutoff_list)
@@ -145,15 +155,37 @@ class _BaseEvaluator:
             scores = self._restrict_candidates(scores, uids)
 
             uids_j = jnp.asarray(uids, dtype=jnp.int32)
+            test_rows = jnp.take(self._test_dense, uids_j, axis=0)
+            topk = None
+            if self._plan is not None:
+                plan = self._plan
+                test_rows = jax.device_put(test_rows, plan.user_rows)
+                n_model = plan.n_model
+                if (
+                    n_model > 1
+                    and self.n_items % n_model == 0
+                    and self.max_cutoff <= self.n_items // n_model
+                ):
+                    # items sharded over the model axis: per-shard top-k +
+                    # all-gather merge, exact for k <= shard width
+                    from ganmf_tpu.ops.topk import sharded_topk
+
+                    scores = jax.device_put(scores, plan.urm)
+                    topk = sharded_topk(
+                        scores, self.max_cutoff, plan, batch_axes=plan.user_axes
+                    )
+                else:
+                    scores = jax.device_put(scores, plan.user_rows)
             stats = evaluate_batch(
                 scores,
-                jnp.take(self._test_dense, uids_j, axis=0),
+                test_rows,
                 jnp.take(self._n_pos, uids_j),
                 jnp.asarray(valid),
                 novelty_terms,
                 pop_norm,
                 cutoffs=cutoffs,
                 max_cutoff=self.max_cutoff,
+                topk=topk,
             )
             scalar_acc += np.asarray(stats.scalars, dtype=np.float64)
             counter_acc += np.asarray(stats.counters, dtype=np.float64)

@@ -89,11 +89,17 @@ def evaluate_batch(
     pop_normalized: jnp.ndarray,  # [I] popularity / max popularity
     cutoffs: Tuple[int, ...],
     max_cutoff: int,
+    topk=None,
 ) -> BatchStats:
     B, I = scores.shape
     K = max_cutoff
 
-    top_vals, top_idx = jax.lax.top_k(scores, K)
+    if topk is None:
+        top_vals, top_idx = jax.lax.top_k(scores, K)
+    else:
+        # Precomputed ranking (e.g. ops.topk.sharded_topk's cross-shard
+        # merge when scores are item-sharded over a mesh).
+        top_vals, top_idx = topk
     valid = jnp.isfinite(top_vals)  # -inf entries are dropped from rankings
 
     rel_ratings = jnp.take_along_axis(test_ratings, top_idx, axis=1)  # [B, K]

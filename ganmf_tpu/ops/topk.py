@@ -18,18 +18,21 @@ from jax.sharding import PartitionSpec as P
 from ganmf_tpu.parallel.mesh import MODEL_AXIS, MeshPlan
 
 
-def sharded_topk(scores: jnp.ndarray, k: int, plan: MeshPlan):
+def sharded_topk(scores: jnp.ndarray, k: int, plan: MeshPlan, batch_axes=None):
     """Exact top-k of item-sharded scores with a candidate all-gather merge.
 
-    scores: [B, I] laid out (replicated, model). Returns replicated
-    (values [B, k], global indices [B, k]).
+    scores: [B, I] laid out (batch_axes, model) — batch_axes defaults to
+    replicated, pass ``plan.user_axes`` when the block rows are sharded
+    too. Returns (values [B, k], global indices [B, k]) laid out
+    (batch_axes, replicated). Exact whenever k <= I / n_model; both B and
+    I must divide evenly over their mesh axes (shard_map requirement).
     """
 
-    def local(block):  # [B, I / n_model] per shard
+    def local(block):  # [B / n_user_shards, I / n_model] per shard
         v, i = jax.lax.top_k(block, k)
         offset = jax.lax.axis_index(MODEL_AXIS) * block.shape[1]
         i = i + offset
-        v_all = jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)  # [B, n*k]
+        v_all = jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)  # [b, n*k]
         i_all = jax.lax.all_gather(i, MODEL_AXIS, axis=1, tiled=True)
         vv, pos = jax.lax.top_k(v_all, k)
         return vv, jnp.take_along_axis(i_all, pos, axis=1)
@@ -37,10 +40,10 @@ def sharded_topk(scores: jnp.ndarray, k: int, plan: MeshPlan):
     fn = shard_map(
         local,
         mesh=plan.mesh,
-        in_specs=P(None, MODEL_AXIS),
-        out_specs=(P(None, None), P(None, None)),
-        # outputs are replicated by the all_gather + re-rank; the static
-        # varying-manual-axes check cannot prove it
+        in_specs=P(batch_axes, MODEL_AXIS),
+        out_specs=(P(batch_axes, None), P(batch_axes, None)),
+        # outputs are replicated over model by the all_gather + re-rank;
+        # the static varying-manual-axes check cannot prove it
         check_vma=False,
     )
     return fn(scores)

@@ -12,6 +12,91 @@ from ganmf_tpu.parallel import init_distributed, make_distributed_ganmf_step, ma
 def test_mesh_shapes():
     plan = make_mesh(n_data=4, n_model=2)
     assert plan.n_data == 4 and plan.n_model == 2
+    assert plan.n_slices == 1 and plan.n_user_shards == 4
+
+
+def test_mesh_with_slices():
+    """2x2x2 (slice, data, model) plan: user tensors shard over slice+data."""
+    plan = make_mesh(n_data=2, n_model=2, n_slices=2)
+    assert plan.n_slices == 2 and plan.n_data == 2 and plan.n_model == 2
+    assert plan.n_user_shards == 4
+    assert plan.user_axes == ("slice", "data")
+    x = jax.device_put(jnp.arange(32.0).reshape(8, 4), plan.urm)
+    # 8 rows over 4 user shards, 4 cols over 2 model shards -> 2x2 per device
+    assert x.addressable_shards[0].data.shape == (2, 2)
+
+    # the distributed GANMF step compiles and runs on the 3D mesh
+    from ganmf_tpu.parallel import init_distributed, make_distributed_ganmf_step
+
+    params, d_state, g_state = init_distributed(0, 16, 8, 4, 8, plan)
+    rng = np.random.RandomState(0)
+    urm = jax.device_put(jnp.asarray((rng.rand(16, 8) < 0.3).astype(np.float32)), plan.urm)
+    uids = jax.device_put(jnp.arange(4, dtype=jnp.int32), plan.batch)
+    w = jax.device_put(jnp.ones((4,), jnp.float32), plan.batch)
+    step = make_distributed_ganmf_step(plan, 1.0, 0.1, 0.0, 0.0)
+    _, _, _, dloss, gloss = step(
+        params, d_state, g_state, urm, uids, w, jnp.float32(1e-3), jnp.float32(1e-3)
+    )
+    assert np.isfinite(float(dloss)) and np.isfinite(float(gloss))
+
+
+def test_comm_initialize_noop_and_facade():
+    from ganmf_tpu.parallel import comm
+
+    comm.initialize()  # single-process: must be a silent no-op
+    assert not comm.is_initialized()
+    assert comm.process_count() == 1 and comm.process_index() == 0
+
+    plan = make_mesh(n_data=4, n_model=2)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def body(x):
+        return comm.psum(x, "data")
+
+    y = shard_map(body, mesh=plan.mesh, in_specs=P("data"), out_specs=P("data"))(
+        jnp.ones((8,), jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(y), 4.0)
+
+
+class _RandomScorer:
+    """Minimal recommender exposing the evaluator's device interface."""
+
+    def __init__(self, train, seed=0):
+        self._train = train
+        rng = np.random.RandomState(seed)
+        self._scores = jnp.asarray(rng.randn(*train.shape).astype(np.float32))
+        self._mask = jnp.asarray(np.asarray(train.todense()) > 0)
+
+    def get_URM_train(self):
+        return self._train
+
+    def score_device(self, uids):
+        return jnp.take(self._scores, uids, axis=0)
+
+    def device_train_mask(self):
+        return self._mask
+
+
+def test_sharded_evaluator_matches_single(urm_pair):
+    """EvaluatorHoldout(mesh_plan=...) == the single-device evaluator."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+
+    train, test = urm_pair  # 50 users x 80 items; 80 % 2 == 0
+    model = _RandomScorer(train)
+    base, _ = EvaluatorHoldout(test, [5, 20]).evaluateRecommender(model)
+
+    for kwargs in (dict(n_data=4, n_model=2), dict(n_data=2, n_model=2, n_slices=2)):
+        plan = make_mesh(**kwargs)
+        sharded, _ = EvaluatorHoldout(test, [5, 20], mesh_plan=plan).evaluateRecommender(model)
+        for c in (5, 20):
+            for metric, value in base[c].items():
+                assert sharded[c][metric] == pytest.approx(value, rel=1e-5, abs=1e-7), (
+                    c,
+                    metric,
+                    kwargs,
+                )
 
 
 def test_sharded_topk_matches_dense():
