@@ -66,15 +66,20 @@ def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
             return sps.csc_matrix((n, n), dtype=np.float32)
         col_of = np.repeat(np.arange(n), nnz_per_col)
         slot = np.arange(W.nnz, dtype=np.int64) - np.repeat(W.indptr[:-1], nnz_per_col)
-        padded_v = np.zeros((n, max_nnz), np.float32)
+        # padding (and explicit stored zeros) get a -inf sentinel so the
+        # top-k runs over the column's nonzeros only and keeps negative
+        # weights, matching the reference's non_zero_data filter
+        # (Recommender_utils.py:98-104)
+        padded_v = np.full((n, max_nnz), -np.inf, np.float32)
         padded_r = np.zeros((n, max_nnz), np.int32)
         padded_v[col_of, slot] = W.data
+        padded_v[padded_v == 0] = -np.inf
         padded_r[col_of, slot] = W.indices
         if max_nnz > k:
             top = np.argpartition(-padded_v, k - 1, axis=1)[:, :k]
             padded_v = np.take_along_axis(padded_v, top, axis=1)
             padded_r = np.take_along_axis(padded_r, top, axis=1)
-        keep = padded_v != 0
+        keep = np.isfinite(padded_v)
         counts = keep.sum(axis=1).astype(np.int64)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])
@@ -84,12 +89,15 @@ def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
 
     if not sps.issparse(item_weights):
         A = np.asarray(item_weights, dtype=np.float32)
+        # zeros -> -inf so selection runs over nonzeros only and negative
+        # weights survive (reference Recommender_utils.py:98-104)
+        A = np.where(A != 0, A, -np.inf)
         if k < n:
             top = np.argpartition(-A, k - 1, axis=0)[:k]  # [k, n] row ids per column
         else:
             top = np.broadcast_to(np.arange(n)[:, None], (n, n))
         vals = np.take_along_axis(A, top, axis=0)  # [k, n]
-        keep = vals != 0
+        keep = np.isfinite(vals)
         counts = keep.sum(axis=0)
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=indptr[1:])

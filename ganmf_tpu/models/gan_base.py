@@ -92,6 +92,23 @@ class AdversarialRecommender(Recommender):
     def _restore_checkpoint_state(self, state):
         self.params = state
 
+    _LOSS_ATTRS = ("train_d_loss", "train_g_loss", "train_pg_loss", "train_ng_loss")
+
+    def _checkpoint_aux(self) -> dict:
+        """Variable-length side state (loss histories) saved next to the
+        pytree checkpoint so a resumed run keeps its full loss curves."""
+        aux = {}
+        for name in self._LOSS_ATTRS:
+            vals = getattr(self, name, None)
+            if vals:
+                aux[name] = np.asarray([float(v) for v in vals], np.float32)
+        return aux
+
+    def _restore_checkpoint_aux(self, aux: dict) -> None:
+        for name in self._LOSS_ATTRS:
+            if name in aux:
+                setattr(self, name, [float(v) for v in aux[name]])
+
     def resume_from_checkpoint(self) -> int:
         """Restore the latest training checkpoint, returning the epoch to
         continue from (1 when no checkpoint exists). Requires
@@ -102,6 +119,9 @@ class AdversarialRecommender(Recommender):
         if latest is None:
             return 1
         self._restore_checkpoint_state(self.checkpointer.restore(latest, self._checkpoint_state()))
+        aux = self.checkpointer.restore_aux(latest)
+        if aux:
+            self._restore_checkpoint_aux(aux)
         return latest + 1
 
     def _run_training_loop(self, epochs, validation_evaluator, validation_set, sample_every,
@@ -126,7 +146,9 @@ class AdversarialRecommender(Recommender):
             if self.metrics_logger is not None:
                 self.metrics_logger.log_epoch(epoch)
             if self.checkpointer is not None:
-                self.checkpointer.maybe_save(epoch, self._checkpoint_state())
+                self.checkpointer.maybe_save(
+                    epoch, self._checkpoint_state(), aux=self._checkpoint_aux()
+                )
 
             if validation_set is not None and sample_every is not None and epoch % sample_every == 0:
                 results, results_string = validation_evaluator.evaluateRecommender(self)

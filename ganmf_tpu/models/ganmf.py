@@ -261,13 +261,17 @@ class GANMF(AdversarialRecommender):
             jnp.float32(0.0),
         )
 
-        start_epoch = self.resume_from_checkpoint()
+        self.train_d_loss, self.train_g_loss = [], []
+        start_epoch = self.resume_from_checkpoint()  # also restores loss histories
 
         n_batches, padded = make_batches(n_rows, int(batch_size))
         weights = jnp.asarray(padded_weights(n_rows, padded))
         rng = np.random.RandomState(self.seed)
-
-        self.train_d_loss, self.train_g_loss = [], []
+        # fast-forward the shuffle stream past the completed epochs so a
+        # resumed run continues the exact permutation sequence of the
+        # uninterrupted one (one rng.shuffle draw per epoch)
+        for _ in range(start_epoch - 1):
+            shuffled_padded_perm(rng, n_rows, padded)
 
         def epoch_fn(epoch):
             perm = jnp.asarray(shuffled_padded_perm(rng, n_rows, padded))

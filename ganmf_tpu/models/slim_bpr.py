@@ -216,11 +216,17 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
 
     @staticmethod
     def _zero_non_topk(A: np.ndarray, k: int, axis: int) -> np.ndarray:
-        """Keep only the top-k entries along `axis`, zeroing the rest."""
+        """Keep only the top-k *nonzero* entries along `axis`, zeroing the
+        rest. Zeros are excluded from the selection (with a -inf key) so
+        negative weights within the top-k survive, matching the reference's
+        similarityMatrixTopK nonzero filter (Recommender_utils.py:98-104)
+        that the dense get_S path routes through (SLIM_BPR_Cython_Epoch.pyx
+        :404)."""
         n = A.shape[axis]
         if k >= n:
             return A
-        top = np.argpartition(-A, k - 1, axis=axis)
+        key = np.where(A != 0, A, -np.inf)
+        top = np.argpartition(-key, k - 1, axis=axis)
         drop = np.take(top, np.arange(k, n), axis=axis)
         out = A.copy()
         np.put_along_axis(out, drop, 0.0, axis=axis)

@@ -53,7 +53,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.isfile(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+        # the .so is never committed (it would be an opaque -march=native
+        # blob); build locally on first use. Equal mtimes also rebuild.
+        if not os.path.isfile(_LIB_PATH) or os.path.getmtime(_LIB_PATH) <= os.path.getmtime(_SRC):
             if not _build():
                 return None
         try:

@@ -56,9 +56,11 @@ def _similarity_topk(
         dist = ss2[None, :] + ss2[:, None] - 2.0 * G
         dist = jnp.where(eye, 0.0, dist)
         if use_row_weights:
-            # reference multiplies the distance vector by row_weights, which
-            # only type-checks when n_rows == n_cols; replicated as elementwise
-            dist = dist * row_weights[None, :]
+            # reference scales item_distance[i] (the candidate axis) by
+            # row_weights[i] (Compute_Similarity_Euclidean.py:181); it only
+            # type-checks there when n_rows == n_cols. Candidate axis is
+            # dim 0 in this kernel's [candidate, target] orientation.
+            dist = dist * row_weights[:, None]
         if normalize:
             ss = jnp.sqrt(ss2)
             dist = dist / (ss[:, None] * ss[None, :])

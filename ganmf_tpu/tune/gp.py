@@ -86,11 +86,17 @@ def _run(
     X_unit: List[np.ndarray] = []
     y_vals: List[float] = []
 
+    # warm-start points without observations are evaluated first (counting
+    # toward n_calls), mirroring skopt's gp_minimize semantics
+    x0_pending: List = []
     if x0 is not None:
-        for xi, yi in zip(x0, y0 if y0 is not None else []):
-            result.update(xi, yi)
-            X_unit.append(encode_point(list(dimensions), xi))
-            y_vals.append(float(yi))
+        if y0 is not None:
+            for xi, yi in zip(x0, y0):
+                result.update(xi, yi)
+                X_unit.append(encode_point(list(dimensions), xi))
+                y_vals.append(float(yi))
+        else:
+            x0_pending = list(x0)
 
     def tell(x):
         y = func(x)
@@ -104,15 +110,30 @@ def _run(
 
     d = len(dimensions)
     for it in range(n_calls):
+        if x0_pending:
+            tell(x0_pending.pop(0))
+            continue
         n_seen = len(y_vals)
         if not use_gp or n_seen < max(n_random_starts, 2):
             u = rng.rand(d)
         else:
             gp = _fit_gp(np.asarray(X_unit), np.asarray(y_vals), rng)
-            cands = rng.rand(2048, d)
+            best_y = np.min(y_vals)
+            # global sweep + local Gaussian refinement around the incumbent
+            # EI argmax (cheap surrogate for skopt's L-BFGS restarts)
+            cands = rng.rand(8192, d)
             mu, sigma = gp.predict(cands, return_std=True)
-            ei = _expected_improvement(mu, sigma, np.min(y_vals))
+            ei = _expected_improvement(mu, sigma, best_y)
             u = cands[int(np.argmax(ei))]
+            best_ei = float(np.max(ei))
+            for width in (0.1, 0.03, 0.01):
+                local = np.clip(u[None, :] + rng.randn(256, d) * width, 0.0, 1.0)
+                mu, sigma = gp.predict(local, return_std=True)
+                ei = _expected_improvement(mu, sigma, best_y)
+                j = int(np.argmax(ei))
+                if float(ei[j]) > best_ei:
+                    best_ei = float(ei[j])
+                    u = local[j]
         tell(decode_point(list(dimensions), u))
     return result
 

@@ -37,13 +37,13 @@ class TrainCheckpointer:
             self._mgr = None
             os.makedirs(self.directory, exist_ok=True)
 
-    def maybe_save(self, epoch: int, state: Any) -> bool:
+    def maybe_save(self, epoch: int, state: Any, aux: Optional[dict] = None) -> bool:
         if epoch % self.every != 0:
             return False
-        self.save(epoch, state)
+        self.save(epoch, state, aux=aux)
         return True
 
-    def save(self, epoch: int, state: Any) -> None:
+    def save(self, epoch: int, state: Any, aux: Optional[dict] = None) -> None:
         if self._mgr is not None:
             self._mgr.save(epoch, args=ocp.args.StandardSave(state))
             self._mgr.wait_until_finished()
@@ -53,6 +53,17 @@ class TrainCheckpointer:
                 os.path.join(self.directory, f"ckpt_{epoch}.npz"),
                 *[np.asarray(x) for x in flat],
             )
+        if aux:
+            # variable-length side data (loss histories) lives outside the
+            # fixed-shape pytree so restore needs no matching template
+            np.savez(os.path.join(self.directory, f"aux_{epoch}.npz"), **aux)
+
+    def restore_aux(self, epoch: int) -> Optional[dict]:
+        path = os.path.join(self.directory, f"aux_{epoch}.npz")
+        if not os.path.isfile(path):
+            return None
+        with np.load(path) as data:
+            return {k: data[k] for k in data.files}
 
     def latest_epoch(self) -> Optional[int]:
         if self._mgr is not None:

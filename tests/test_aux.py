@@ -129,3 +129,53 @@ def test_ganmf_crash_resume(tmp_path, urm_pair):
     # resumed run trains epochs 5..6 only; shapes and scoring work
     scores = m2._compute_item_score(np.arange(3))
     assert np.isfinite(scores).all()
+    # the shuffle stream is fast-forwarded on resume, so the resumed run
+    # reproduces the uninterrupted run's final state (ADVICE r1)
+    np.testing.assert_allclose(
+        np.asarray(m2.params.user_emb), np.asarray(full.params.user_emb), rtol=1e-6, atol=1e-7
+    )
+    # loss histories carry over: 4 restored epochs + 2 new ones
+    assert len(m2.train_d_loss) == 6 and len(m2.train_g_loss) == 6
+    np.testing.assert_allclose(
+        [float(v) for v in m2.train_d_loss],
+        [float(v) for v in full.train_d_loss],
+        rtol=1e-5,
+    )
+
+
+def test_similarity_matrix_topk_keeps_negatives():
+    """Top-K selection runs over stored nonzeros only: negative weights are
+    kept and explicit/implicit zeros never outrank them (ADVICE r1 medium;
+    reference Recommender_utils.py non_zero_data filter)."""
+    import scipy.sparse as sps
+
+    from ganmf_tpu.models.base import similarity_matrix_topk
+
+    col = np.zeros((6, 6), dtype=np.float32)
+    col[0, 0], col[1, 0], col[2, 0] = 1.0, -0.5, -0.8
+    for W in (col, sps.csc_matrix(col)):
+        out = similarity_matrix_topk(W, k=5).toarray()
+        np.testing.assert_allclose(out[:3, 0], [1.0, -0.5, -0.8])
+        assert out[3:, 0].sum() == 0.0
+
+    # large-sparse padded path (forced by a big n with tiny nnz)
+    n = 9000
+    big = sps.lil_matrix((n, n), dtype=np.float32)
+    big[0, 0], big[1, 0], big[2, 0] = 1.0, -0.5, -0.8
+    out = similarity_matrix_topk(sps.csc_matrix(big), k=5).tocsc()
+    np.testing.assert_allclose(out[:3, 0].toarray().ravel(), [1.0, -0.5, -0.8])
+
+    # k smaller than the nonzero count: keep the k largest by value
+    out = similarity_matrix_topk(col, k=2).toarray()
+    np.testing.assert_allclose(sorted(out[:3, 0]), [-0.5, 0.0, 1.0])
+
+
+def test_slim_zero_non_topk_keeps_negatives():
+    from ganmf_tpu.models.slim_bpr import SLIM_BPR
+
+    A = np.zeros((4, 4), dtype=np.float32)
+    A[0, :3] = [1.0, -0.5, -0.8]
+    out = SLIM_BPR._zero_non_topk(A, k=3, axis=1)
+    np.testing.assert_allclose(out[0, :3], [1.0, -0.5, -0.8])
+    out2 = SLIM_BPR._zero_non_topk(A, k=2, axis=1)
+    np.testing.assert_allclose(out2[0, :3], [1.0, -0.5, 0.0])
