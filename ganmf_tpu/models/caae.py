@@ -251,6 +251,7 @@ class CAAE(AdversarialRecommender):
         sample_every=None,
         validation_evaluator=None,
         validation_set=None,
+        mesh_plan=None,
     ):
         self.config = dict(
             epochs=epochs, d_steps=d_steps, g_steps=g_steps, gpr_steps=gpr_steps,
@@ -287,6 +288,12 @@ class CAAE(AdversarialRecommender):
             G=_init_mlp(k_g, g_dims),
             Gpr=_init_mlp(k_gpr, gpr_dims),
         )
+
+        if mesh_plan is not None:
+            from ganmf_tpu.parallel.distributed import shard_caae_params
+
+            self.params = shard_caae_params(self.params, mesh_plan)
+            urm = jax.device_put(urm, mesh_plan.urm)
 
         m_batch_eff = int(min(m_batch, self.n_users))
 

@@ -203,6 +203,7 @@ class CFGAN(AdversarialRecommender):
         validation_evaluator=None,
         sample_every=None,
         validation_set=None,
+        mesh_plan=None,
     ):
         # ratios are fractions in [0, 1]; the root search space's {10..90}
         # integers (RecSysExp.py:480-481) are percentage points — normalize.
@@ -235,6 +236,12 @@ class CFGAN(AdversarialRecommender):
         d_dims = [2 * n_cols] + [int(d_nodes)] * int(d_layers) + [1]
         self.params = CFGANParams(G=_init_mlp(k_g, g_dims), D=_init_mlp(k_d, d_dims))
         self._g_hidden_act = g_hidden_act
+
+        if mesh_plan is not None:
+            from ganmf_tpu.parallel.distributed import shard_cfgan_params
+
+            self.params = shard_cfgan_params(self.params, mesh_plan)
+            urm = jax.device_put(urm, mesh_plan.urm)
 
         d_state = ADAM.init(self.params.D)
         g_state = ADAM.init(self.params.G)

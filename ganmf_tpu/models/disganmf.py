@@ -214,6 +214,7 @@ class DisGANMF(AdversarialRecommender):
         validation_evaluator=None,
         validation_set=None,
         lazy_user_adam=None,
+        mesh_plan=None,
     ):
         # DisGANMF's discriminator conditions on the raw user-id value
         # (DisGANMF.py:110-111), which makes training dynamics seed-fragile
@@ -234,6 +235,11 @@ class DisGANMF(AdversarialRecommender):
         self.params = _init_params(
             jax.random.PRNGKey(self.seed), n_rows, n_cols, int(num_factors), int(d_layers), int(d_nodes)
         )
+        if mesh_plan is not None:
+            from ganmf_tpu.parallel.distributed import shard_disganmf_params
+
+            self.params = shard_disganmf_params(self.params, mesh_plan)
+            urm = jax.device_put(urm, mesh_plan.urm)
         d_state = ADAM.init(_d_params(self.params))
         g_state = (
             ADAM.init((self.params.item_emb,)),

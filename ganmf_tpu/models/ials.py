@@ -68,6 +68,7 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
         reg: float = 1e-3,
         init_std: float = 0.1,
         random_seed: int = 1234,
+        mesh_plan=None,
         **earlystopping_kwargs,
     ):
         if confidence_scaling not in self.AVAILABLE_CONFIDENCE_SCALING:
@@ -96,6 +97,15 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
 
         self._U_dev = jnp.asarray(self.USER_factors)
         self._V_dev = jnp.asarray(self.ITEM_factors)
+
+        if mesh_plan is not None:
+            # confidence matrices over (data, model); factors over their row
+            # axis — the half-step's Gram contractions then psum over the
+            # item (resp. user) shards via GSPMD
+            self._W_users = jax.device_put(self._W_users, mesh_plan.urm)
+            self._P_users = jax.device_put(self._P_users, mesh_plan.urm)
+            self._U_dev = jax.device_put(self._U_dev, mesh_plan.user_rows)
+            self._V_dev = jax.device_put(self._V_dev, mesh_plan.item_rows)
 
         # user chunk sized so the [C, I, K] intermediate stays under ~512 MB
         self._chunk_u = max(8, min(1024, int(512e6 / (4 * self.n_items * num_factors))))

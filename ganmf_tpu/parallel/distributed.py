@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import optax
 
 from ganmf_tpu.models.ganmf import ADAM, GANMFParams, _d_params, _g_params, _init_params, _losses
-from ganmf_tpu.parallel.mesh import MeshPlan
+from ganmf_tpu.parallel.mesh import MODEL_AXIS, MeshPlan
 
 
 def init_distributed(seed: int, n_users: int, n_items: int, num_factors: int, emb_dim: int,
@@ -43,12 +43,91 @@ def init_distributed(seed: int, n_users: int, n_items: int, num_factors: int, em
 
 def shard_ganmf_params(params: GANMFParams, plan: MeshPlan) -> GANMFParams:
     return GANMFParams(
-        user_emb=jax.device_put(params.user_emb, plan.user_rows),
-        item_emb=jax.device_put(params.item_emb, plan.item_rows),
-        enc_w=jax.device_put(params.enc_w, plan.item_rows),
-        enc_b=jax.device_put(params.enc_b, plan.replicated),
-        dec_w=jax.device_put(params.dec_w, plan.item_cols),
-        dec_b=jax.device_put(params.dec_b, plan.named(plan.mesh.axis_names[1])),
+        user_emb=_safe_put(params.user_emb, plan.user_rows, plan),
+        item_emb=_safe_put(params.item_emb, plan.item_rows, plan),
+        enc_w=_safe_put(params.enc_w, plan.item_rows, plan),
+        enc_b=_safe_put(params.enc_b, plan.replicated, plan),
+        dec_w=_safe_put(params.dec_w, plan.item_cols, plan),
+        dec_b=_safe_put(params.dec_b, plan.named(MODEL_AXIS), plan),
+    )
+
+
+def _safe_put(x, sharding, plan: MeshPlan):
+    """device_put with a replicated fallback when a dimension does not
+    divide evenly over its mesh axes (e.g. DisGANMF's [n_items+1, nodes]
+    first kernel)."""
+    for dim, axes in enumerate(sharding.spec):
+        if axes is None:
+            continue
+        names = axes if isinstance(axes, tuple) else (axes,)
+        size = 1
+        for nm in names:
+            size *= plan.mesh.shape[nm]
+        if dim >= x.ndim or x.shape[dim] % size != 0:
+            return jax.device_put(x, plan.replicated)
+    return jax.device_put(x, sharding)
+
+
+def shard_disganmf_params(params, plan: MeshPlan):
+    """DisGANMFParams placement: embeddings over (data|model), the
+    discriminator's first (item-wide) kernel over model, the small hidden
+    kernels replicated."""
+    return params._replace(
+        user_emb=_safe_put(params.user_emb, plan.user_rows, plan),
+        item_emb=_safe_put(params.item_emb, plan.item_rows, plan),
+        d_ws=tuple(
+            _safe_put(w, plan.item_rows if i == 0 else plan.replicated, plan)
+            for i, w in enumerate(params.d_ws)
+        ),
+        d_bs=tuple(_safe_put(b, plan.replicated, plan) for b in params.d_bs),
+        out_w=_safe_put(params.out_w, plan.replicated, plan),
+        out_b=_safe_put(params.out_b, plan.replicated, plan),
+    )
+
+
+def _shard_mlp(p, plan: MeshPlan, in_items: bool, out_items: bool):
+    """Place an MLP whose first kernel consumes an item-wide input
+    (in_items) and/or whose last layer produces an item-wide output
+    (out_items); hidden layers stay replicated."""
+    n = len(p.ws)
+    ws = []
+    for i, w in enumerate(p.ws):
+        if i == 0 and in_items and not (i == n - 1 and out_items):
+            ws.append(_safe_put(w, plan.item_rows, plan))
+        elif i == n - 1 and out_items:
+            ws.append(_safe_put(w, plan.item_cols, plan))
+        else:
+            ws.append(_safe_put(w, plan.replicated, plan))
+    bs = [
+        _safe_put(
+            b,
+            plan.named(MODEL_AXIS) if (i == n - 1 and out_items) else plan.replicated,
+            plan,
+        )
+        for i, b in enumerate(p.bs)
+    ]
+    return p._replace(ws=tuple(ws), bs=tuple(bs))
+
+
+def shard_cfgan_params(params, plan: MeshPlan):
+    """CFGANParams placement: G maps items->items (first kernel row-sharded,
+    last kernel column-sharded over model); D consumes concat(cond, data)
+    of width 2*I (first kernel row-sharded)."""
+    return params._replace(
+        G=_shard_mlp(params.G, plan, in_items=True, out_items=True),
+        D=_shard_mlp(params.D, plan, in_items=True, out_items=False),
+    )
+
+
+def shard_caae_params(params, plan: MeshPlan):
+    """CAAEParams placement: BPR discriminator factors over (data|model),
+    both autoencoders item-sharded at the input/output layers."""
+    return params._replace(
+        d_user_emb=_safe_put(params.d_user_emb, plan.user_rows, plan),
+        d_item_emb=_safe_put(params.d_item_emb, plan.item_rows, plan),
+        d_item_bias=_safe_put(params.d_item_bias, plan.named(MODEL_AXIS), plan),
+        G=_shard_mlp(params.G, plan, in_items=True, out_items=True),
+        Gpr=_shard_mlp(params.Gpr, plan, in_items=True, out_items=True),
     )
 
 

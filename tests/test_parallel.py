@@ -181,3 +181,44 @@ def test_ganmf_fit_on_mesh(urm_pair):
     np.testing.assert_allclose(
         np.asarray(model.params.user_emb), np.asarray(single.params.user_emb), rtol=2e-4, atol=2e-6
     )
+
+
+@pytest.mark.parametrize("model_name", ["DisGANMF", "CFGAN", "CAAE", "IALS"])
+def test_trainer_mesh_plan_matches_single(urm_pair, model_name):
+    """fit(mesh_plan=...) reproduces the single-device training math for
+    every adversarial trainer and IALS (SURVEY §2.9)."""
+    train, test = urm_pair
+    plan = make_mesh(n_data=2, n_model=2)
+
+    def build_and_fit(mesh_plan):
+        if model_name == "DisGANMF":
+            from ganmf_tpu.models import DisGANMF
+
+            m = DisGANMF(train, mode="user", seed=5)
+            m.fit(num_factors=4, d_layers=1, d_nodes=8, epochs=2, batch_size=16,
+                  mesh_plan=mesh_plan)
+            return np.asarray(m.params.user_emb)
+        if model_name == "CFGAN":
+            from ganmf_tpu.models import CFGAN
+
+            m = CFGAN(train, mode="user", seed=5)
+            m.fit(d_nodes=8, g_nodes=8, scheme="ZP", zr_ratio=0.3, zp_ratio=0.3,
+                  zr_coefficient=0.1, epochs=2, d_batch_size=16, g_batch_size=16,
+                  mesh_plan=mesh_plan)
+            return np.asarray(m.params.G.ws[0])
+        if model_name == "CAAE":
+            from ganmf_tpu.models import CAAE
+
+            m = CAAE(train, seed=5)
+            m.fit(epochs=2, g_units=8, num_factors=4, d_bsize=64, m_batch=8,
+                  mesh_plan=mesh_plan)
+            return np.asarray(m.params.G.ws[0])
+        from ganmf_tpu.models import IALSRecommender
+
+        m = IALSRecommender(train)
+        m.fit(epochs=2, num_factors=4, mesh_plan=mesh_plan)
+        return np.asarray(m._U_dev)
+
+    sharded = build_and_fit(plan)
+    single = build_and_fit(None)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-6)
