@@ -10,12 +10,45 @@ For multi-chip runs the dense matrix is sharded over the mesh's user axis
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _segment_dense(lin_idx: jnp.ndarray, data: jnp.ndarray, shape):
+    # segment_sum lowers to a sorted scatter-add that compiles ~20x faster
+    # than a 2D .at[].set scatter on this TPU toolchain (measured 8s vs
+    # 167s at LastFM shapes) and runs in tens of microseconds
+    flat = jax.ops.segment_sum(data, lin_idx, num_segments=shape[0] * shape[1])
+    return flat.reshape(shape)
+
+
+def dense_from_sparse(mat: sps.spmatrix, sharding=None) -> jnp.ndarray:
+    """Densify on device: ship only the COO triplets (nnz * 12 bytes) and
+    segment-sum into an HBM zeros buffer. On a host->device link this beats
+    transferring the dense matrix by the sparsity factor (the reference
+    datasets are 95-99.9% sparse)."""
+    R, C = mat.shape
+    if R * C >= 2**31:  # linear int32 indexing would overflow
+        dense = np.asarray(mat.todense(), dtype=np.float32)
+        out = jnp.asarray(dense)
+    else:
+        coo = mat.tocoo()
+        coo.sum_duplicates()
+        lin = coo.row.astype(np.int64) * C + coo.col.astype(np.int64)
+        out = _segment_dense(
+            jnp.asarray(lin.astype(np.int32)),
+            jnp.asarray(coo.data.astype(np.float32)),
+            shape=(R, C),
+        )
+    if sharding is not None:
+        out = jax.device_put(out, sharding)
+    return out
 
 
 class DeviceURM:
@@ -27,10 +60,9 @@ class DeviceURM:
         self.shape = urm.shape
         self.nnz = urm.nnz
         self._csr = urm
-        dense = np.asarray(urm.todense(), dtype=np.float32)
-        arr = jnp.asarray(dense, dtype=dtype)
-        if sharding is not None:
-            arr = jax.device_put(arr, sharding)
+        arr = dense_from_sparse(urm, sharding=sharding)
+        if dtype != jnp.float32:
+            arr = arr.astype(dtype)
         self.dense = arr
         self._mask: Optional[jnp.ndarray] = None
 

@@ -17,16 +17,19 @@ import numpy as np
 import scipy.sparse as sps
 from sklearn.preprocessing import normalize
 
+from ganmf_tpu.data.device import dense_from_sparse
 from ganmf_tpu.models.base import ItemSimilarityRecommender, check_matrix, similarity_matrix_topk
 
 
 @functools.partial(jax.jit, static_argnames=("topk",))
 def _walk_topk(Piu: jnp.ndarray, Pui: jnp.ndarray, topk: int):
     """Rows of W = Piu @ Pui with zeroed diagonal, top-K per row."""
+    from ganmf_tpu.ops.topk import tiled_topk
+
     hi = jax.lax.Precision.HIGHEST
     W = jnp.dot(Piu, Pui, precision=hi)  # [I, I]
     W = jnp.where(jnp.eye(W.shape[0], dtype=bool), 0.0, W)
-    vals, idx = jax.lax.top_k(W, topk)
+    vals, idx = tiled_topk(W, topk)
     return vals, idx
 
 
@@ -66,8 +69,8 @@ class P3alphaRecommender(ItemSimilarityRecommender):
             Piu = Piu.power(alpha)
 
         vals, idx = _walk_topk(
-            jnp.asarray(np.asarray(Piu.todense(), dtype=np.float32)),
-            jnp.asarray(np.asarray(Pui.todense(), dtype=np.float32)),
+            dense_from_sparse(sps.csr_matrix(Piu, dtype=np.float32)),
+            dense_from_sparse(sps.csr_matrix(Pui, dtype=np.float32)),
             topk=min(topK, self.n_items),
         )
         W = _rows_topk_to_csr(np.asarray(vals, np.float32), np.asarray(idx), self.n_items)
@@ -114,8 +117,8 @@ class RP3betaRecommender(ItemSimilarityRecommender):
             Piu = Piu.power(alpha)
 
         vals, idx = _walk_topk(
-            jnp.asarray(np.asarray(Piu.todense(), dtype=np.float32)),
-            jnp.asarray(np.asarray(Pui.todense(), dtype=np.float32)),
+            dense_from_sparse(sps.csr_matrix(Piu, dtype=np.float32)),
+            dense_from_sparse(sps.csr_matrix(Pui, dtype=np.float32)),
             topk=min(topK, self.n_items),
         )
         # scale each column j of the walk matrix by degree[j]^(-beta)

@@ -124,7 +124,9 @@ def _similarity_topk(
     # top-K per *column* (note the reference normalizes with the column item
     # in the first denominator slot; here rows carry ss[:, None] == "all
     # items", columns the target item, matching its orientation).
-    vals, idx = jax.lax.top_k(W.T, topk)  # per column j: top rows i
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    vals, idx = tiled_topk(W.T, topk)  # per column j: top rows i
     return vals, idx
 
 
@@ -181,7 +183,9 @@ def compute_similarity(
     else:
         mode = similarity
 
-    A = jnp.asarray(np.asarray(X.todense(), dtype=np.float32))
+    from ganmf_tpu.data.device import dense_from_sparse
+
+    A = dense_from_sparse(X)
     rw = jnp.asarray(
         np.asarray(row_weights, dtype=np.float32) if row_weights is not None else np.ones(n_rows, np.float32)
     )

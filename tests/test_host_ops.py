@@ -68,3 +68,36 @@ def test_shuffled_interactions(urm):
     assert got == expected
     # actually shuffled
     assert not np.array_equal(users, np.sort(users, kind="stable"))
+
+
+def test_tiled_topk_matches_full():
+    """tiled_topk == lax.top_k, including cross-tile tie-breaking."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(7, 1000).astype(np.float32)
+    # inject exact ties straddling tile boundaries
+    w[0, 5] = w[0, 305] = w[0, 990] = 3.25
+    w[3, :] = 1.0
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(w), 13)
+    v, i = tiled_topk(jnp.asarray(w), 13, tile=256)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v))
+    # k > tile still exact
+    v, i = tiled_topk(jnp.asarray(w), 300, tile=256)
+    ref_v, ref_i = jax.lax.top_k(jnp.asarray(w), 300)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_dense_from_sparse_matches_todense():
+    import scipy.sparse as sps
+
+    from ganmf_tpu.data.device import dense_from_sparse
+
+    rng = np.random.RandomState(1)
+    m = sps.random(50, 700, density=0.05, random_state=rng, format="csr", dtype=np.float32)
+    out = np.asarray(dense_from_sparse(m))
+    np.testing.assert_allclose(out, np.asarray(m.todense()), rtol=1e-6)
