@@ -91,7 +91,6 @@ def evaluate_batch(
     max_cutoff: int,
     topk=None,
 ) -> BatchStats:
-    B, I = scores.shape
     K = max_cutoff
 
     if topk is None:
@@ -100,6 +99,47 @@ def evaluate_batch(
         # Precomputed ranking (e.g. ops.topk.sharded_topk's cross-shard
         # merge when scores are item-sharded over a mesh).
         top_vals, top_idx = topk
+
+    # RMSE over test items is cutoff-independent (Evaluator.py:298-299)
+    test_mask = (test_ratings != 0).astype(jnp.float32)
+    finite_scores = jnp.isfinite(scores)
+    fin = test_mask * finite_scores.astype(jnp.float32)
+    sq_err = jnp.where(finite_scores, (scores - test_ratings) ** 2, 0.0) * fin
+    fin_cnt = jnp.sum(fin, axis=1)
+    user_rmse = jnp.where(fin_cnt > 0, jnp.sqrt(jnp.sum(sq_err, axis=1) / jnp.maximum(fin_cnt, 1.0)), jnp.nan)
+
+    return _evaluate_core(
+        top_vals, top_idx, test_ratings, n_pos, user_valid, item_novelty,
+        pop_normalized, user_rmse, cutoffs, K,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cutoffs", "max_cutoff"))
+def evaluate_batch_from_topk(
+    top_vals: jnp.ndarray,  # [B, K] ranked scores (from the fused scorer)
+    top_idx: jnp.ndarray,  # [B, K] ranked item ids
+    test_ratings: jnp.ndarray,  # [B, I]
+    n_pos: jnp.ndarray,
+    user_valid: jnp.ndarray,
+    item_novelty: jnp.ndarray,
+    pop_normalized: jnp.ndarray,
+    user_rmse: jnp.ndarray,  # [B] precomputed (per-pair gather path)
+    cutoffs: Tuple[int, ...],
+    max_cutoff: int,
+) -> BatchStats:
+    """Metrics from a precomputed ranking — the [B, I] score matrix never
+    exists in HBM (it stays in VMEM inside ops.pallas_scorer)."""
+    return _evaluate_core(
+        top_vals, top_idx, test_ratings, n_pos, user_valid, item_novelty,
+        pop_normalized, user_rmse, cutoffs, max_cutoff,
+    )
+
+
+def _evaluate_core(
+    top_vals, top_idx, test_ratings, n_pos, user_valid, item_novelty,
+    pop_normalized, user_rmse, cutoffs, K,
+) -> BatchStats:
+    I = test_ratings.shape[1]
     valid = jnp.isfinite(top_vals)  # -inf entries are dropped from rankings
 
     rel_ratings = jnp.take_along_axis(test_ratings, top_idx, axis=1)  # [B, K]
@@ -113,14 +153,6 @@ def evaluate_batch(
 
     n_pos_f = n_pos.astype(jnp.float32)
     uvalid = user_valid.astype(jnp.float32)
-
-    # RMSE over test items is cutoff-independent (Evaluator.py:298-299)
-    test_mask = (test_ratings != 0).astype(jnp.float32)
-    finite_scores = jnp.isfinite(scores)
-    fin = test_mask * finite_scores.astype(jnp.float32)
-    sq_err = jnp.where(finite_scores, (scores - test_ratings) ** 2, 0.0) * fin
-    fin_cnt = jnp.sum(fin, axis=1)
-    user_rmse = jnp.where(fin_cnt > 0, jnp.sqrt(jnp.sum(sq_err, axis=1) / jnp.maximum(fin_cnt, 1.0)), jnp.nan)
 
     per_cutoff_scalars = []
     per_cutoff_counters = []

@@ -288,21 +288,49 @@ class MatrixFactorizationRecommender(Recommender):
 
     def __init__(self, URM_train):
         super().__init__(URM_train)
-        self.USER_factors: Optional[np.ndarray] = None
-        self.ITEM_factors: Optional[np.ndarray] = None
+        self._USER_factors_store = None
+        self._ITEM_factors_store = None
         self.use_bias = False
         self._device_factors = None
         self._cold_user_KNN_model_available = False
         self._ItemKNNRecommender = None
         self._warm_user_KNN_mask = None
 
+    # Factor stores accept either host numpy arrays or device jax arrays.
+    # Device-producing fits (PureSVD, IALS) assign device arrays and the
+    # host copy materializes lazily on first read — evaluation never pays
+    # the device->host factor transfer (which dominates fit time on
+    # latency-bound links).
+    @property
+    def USER_factors(self) -> Optional[np.ndarray]:
+        if isinstance(self._USER_factors_store, jax.Array):
+            self._USER_factors_store = np.asarray(self._USER_factors_store)
+        return self._USER_factors_store
+
+    @USER_factors.setter
+    def USER_factors(self, value):
+        self._USER_factors_store = value
+        self._device_factors = None
+
+    @property
+    def ITEM_factors(self) -> Optional[np.ndarray]:
+        if isinstance(self._ITEM_factors_store, jax.Array):
+            self._ITEM_factors_store = np.asarray(self._ITEM_factors_store)
+        return self._ITEM_factors_store
+
+    @ITEM_factors.setter
+    def ITEM_factors(self, value):
+        self._ITEM_factors_store = value
+        self._device_factors = None
+
     def _factors_device(self):
         if self._device_factors is None:
-            self._device_factors = (
-                jnp.asarray(np.asarray(self.USER_factors, dtype=np.float32)),
-                jnp.asarray(np.asarray(self.ITEM_factors, dtype=np.float32)),
-                jnp.asarray(self._cold_user_mask),
-            )
+            U, V = self._USER_factors_store, self._ITEM_factors_store
+            if not isinstance(U, jax.Array):
+                U = jnp.asarray(np.asarray(U, dtype=np.float32))
+            if not isinstance(V, jax.Array):
+                V = jnp.asarray(np.asarray(V, dtype=np.float32))
+            self._device_factors = (U, V, jnp.asarray(self._cold_user_mask))
         return self._device_factors
 
     def _invalidate_device_cache(self):

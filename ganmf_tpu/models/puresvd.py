@@ -56,12 +56,27 @@ def _randomized_svd(A: jnp.ndarray, key, num_factors: int, n_oversample: int = 1
     return U[:, :num_factors], S[:num_factors], Vt[:num_factors]
 
 
+@functools.partial(jax.jit, static_argnames=("num_factors", "n_iter"))
+def _puresvd_factors(A: jnp.ndarray, key, num_factors: int, n_iter: int):
+    """One device program producing the final (USER, ITEM) factor pair —
+    a single dispatch + one batched readback on latency-bound links."""
+    U, S, Vt = _randomized_svd(A, key, num_factors=num_factors, n_iter=n_iter)
+    return U, (S[:, None] * Vt).T
+
+
 class PureSVDRecommender(MatrixFactorizationRecommender):
     RECOMMENDER_NAME = "PureSVDRecommender"
 
     def fit(self, num_factors: int = 100, random_seed: int = 1234, n_iter: int = 7):
         A = self.device_urm().dense
-        U, S, Vt = _randomized_svd(A, jax.random.PRNGKey(random_seed), num_factors=num_factors, n_iter=n_iter)
-        self.USER_factors = np.asarray(U)
-        self.ITEM_factors = np.asarray((S[:, None] * Vt).T)
-        self._invalidate_device_cache()
+        U, V = _puresvd_factors(A, jax.random.PRNGKey(random_seed), num_factors=int(num_factors), n_iter=int(n_iter))
+        # factors stay device-resident; the host view materializes lazily
+        # (MatrixFactorizationRecommender property) only if something reads
+        # it — scoring/evaluation run straight off these arrays. A scalar
+        # probe forces completion (block_until_ready returns early on the
+        # relay backend), so fit() returns with the factors actually built.
+        float(U[0, 0])
+        # the factor setters reset _device_factors; the URM cache is left
+        # alone (fit does not modify URM_train, and re-densifying it costs
+        # a full host->device upload)
+        self.USER_factors, self.ITEM_factors = U, V
