@@ -26,10 +26,28 @@ from ganmf_tpu.eval.metrics import (
     METRIC_ORDER,
     SCALAR_FIELDS,
     evaluate_batch,
+    evaluate_batch_from_topk,
     finalize_counter_metrics,
     item_novelty_terms,
     normalized_popularity,
 )
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@jax.jit
+def _pair_rmse(U_b, V, cold_b, ids, tvals, pvalid, seen_pairs):
+    """Per-user RMSE over the user's test items from factor dot products —
+    the raw-score path the fused ranking kernel doesn't produce
+    (reference Evaluator.py:298-299 semantics, identical to the dense
+    [B, I] computation restricted to test pairs)."""
+    ve = jnp.take(V, ids, axis=0)  # [B, P, K]
+    s = jnp.einsum("bk,bpk->bp", U_b, ve, precision=_HI)
+    s = jnp.where(cold_b[:, None] | seen_pairs, -jnp.inf, s)
+    fin = pvalid & jnp.isfinite(s)
+    sq = jnp.where(fin, (s - tvals) ** 2, 0.0)
+    cnt = jnp.sum(fin, axis=1)
+    return jnp.where(cnt > 0, jnp.sqrt(jnp.sum(sq, axis=1) / jnp.maximum(cnt, 1.0)), jnp.nan)
 
 
 def get_result_string(results_run: Dict, n_decimals: int = 7) -> str:
@@ -98,6 +116,26 @@ class _BaseEvaluator:
         else:
             self._ignore_items_mask = None
 
+        self._test_pairs = None  # lazy [U, P] padded test (ids, vals, mask)
+
+    def _padded_test_arrays(self):
+        """Padded per-user test pairs for the fused path's RMSE gather."""
+        if self._test_pairs is None:
+            csr = self.URM_test
+            U = self.n_users
+            nnz = np.diff(csr.indptr)
+            P = max(1, int(nnz.max()) if len(nnz) else 1)
+            ids = np.zeros((U, P), np.int32)
+            vals = np.zeros((U, P), np.float32)
+            msk = np.zeros((U, P), bool)
+            row_of = np.repeat(np.arange(U), nnz)
+            slot = np.arange(csr.nnz, dtype=np.int64) - np.repeat(csr.indptr[:-1], nnz)
+            ids[row_of, slot] = csr.indices
+            vals[row_of, slot] = csr.data
+            msk[row_of, slot] = True
+            self._test_pairs = (jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(msk))
+        return self._test_pairs
+
     # -- model interface -----------------------------------------------------
 
     def _score_block(self, model, user_ids: np.ndarray) -> jnp.ndarray:
@@ -121,6 +159,53 @@ class _BaseEvaluator:
     def _restrict_candidates(self, scores: jnp.ndarray, user_ids: np.ndarray) -> jnp.ndarray:
         return scores
 
+    # -- fused MF ranking path --------------------------------------------------
+
+    def _can_fuse(self, model) -> bool:
+        """MF-family models rank through the Pallas fused scorer: the [B, I]
+        score matrix stays in VMEM (ops/pallas_scorer.py). Requires plain
+        holdout semantics (no candidate restriction, no mesh, no KNN cold
+        fallback) and built factors."""
+        return (
+            self._plan is None
+            and self.diversity_object is None
+            and type(self)._restrict_candidates is _BaseEvaluator._restrict_candidates
+            and hasattr(model, "_factors_device")
+            and getattr(model, "_USER_factors_store", None) is not None
+            and getattr(model, "_ITEM_factors_store", None) is not None
+            and not getattr(model, "_cold_user_KNN_model_available", False)
+            and not getattr(model, "use_bias", False)
+        )
+
+    def _fused_block(self, model, uids_np: np.ndarray):
+        from ganmf_tpu.ops.pallas_scorer import masked_topk_scores
+
+        uids = jnp.asarray(uids_np, dtype=jnp.int32)
+        U, V, cold = model._factors_device()
+        U_b = jnp.take(U, uids, axis=0)
+        if self.exclude_seen:
+            seen = jnp.take(model.device_train_mask(), uids, axis=0)
+        else:
+            seen = jnp.zeros((len(uids_np), self.n_items), bool)
+        if self._ignore_items_mask is not None:
+            seen = seen | self._ignore_items_mask[None, :]
+        interpret = jax.default_backend() == "cpu"
+        vals, idx = masked_topk_scores(
+            U_b, V, seen, k=self.max_cutoff,
+            tile=min(512, self.n_items), interpret=interpret,
+        )
+        cold_b = jnp.take(cold, uids)
+        vals = jnp.where(cold_b[:, None], -jnp.inf, vals)
+
+        ids, tvals, pvalid = self._padded_test_arrays()
+        seen_pairs = jnp.take_along_axis(seen, jnp.take(ids, uids, axis=0), axis=1)
+        user_rmse = _pair_rmse(
+            U_b, V, cold_b,
+            jnp.take(ids, uids, axis=0), jnp.take(tvals, uids, axis=0),
+            jnp.take(pvalid, uids, axis=0), seen_pairs,
+        )
+        return vals, idx, user_rmse
+
     # -- main entry ------------------------------------------------------------
 
     def evaluateRecommender(self, recommender_object):
@@ -140,9 +225,14 @@ class _BaseEvaluator:
         n_eval = len(users)
         cutoffs = tuple(self.cutoff_list)
 
-        scalar_acc = np.zeros((len(cutoffs), len(SCALAR_FIELDS)), dtype=np.float64)
-        counter_acc = np.zeros((len(cutoffs), self.n_items), dtype=np.float64)
+        # Accumulate on device: per-block stats stay async (no host readback
+        # inside the loop — the dominant cost on latency-bound links); one
+        # transfer at the end.
+        scalar_acc = jnp.zeros((len(cutoffs), len(SCALAR_FIELDS)), dtype=jnp.float32)
+        counter_acc = jnp.zeros((len(cutoffs), self.n_items), dtype=jnp.float32)
         diversity_values = [0.0] * len(cutoffs)
+
+        use_fused = self._can_fuse(recommender_object)
 
         start = 0
         while start < n_eval:
@@ -151,51 +241,73 @@ class _BaseEvaluator:
             uids = np.concatenate([chunk, np.zeros(pad, dtype=np.int64)]) if pad else chunk
             valid = np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]) if pad else np.ones(len(chunk), bool)
 
-            scores = self._score_block(recommender_object, uids)
-            scores = self._restrict_candidates(scores, uids)
-
             uids_j = jnp.asarray(uids, dtype=jnp.int32)
             test_rows = jnp.take(self._test_dense, uids_j, axis=0)
-            topk = None
-            if self._plan is not None:
-                plan = self._plan
-                test_rows = jax.device_put(test_rows, plan.user_rows)
-                n_model = plan.n_model
-                if (
-                    n_model > 1
-                    and self.n_items % n_model == 0
-                    and self.max_cutoff <= self.n_items // n_model
-                ):
-                    # items sharded over the model axis: per-shard top-k +
-                    # all-gather merge, exact for k <= shard width
-                    from ganmf_tpu.ops.topk import sharded_topk
 
-                    scores = jax.device_put(scores, plan.urm)
-                    topk = sharded_topk(
-                        scores, self.max_cutoff, plan, batch_axes=plan.user_axes
-                    )
-                else:
-                    scores = jax.device_put(scores, plan.user_rows)
-            stats = evaluate_batch(
-                scores,
-                test_rows,
-                jnp.take(self._n_pos, uids_j),
-                jnp.asarray(valid),
-                novelty_terms,
-                pop_norm,
-                cutoffs=cutoffs,
-                max_cutoff=self.max_cutoff,
-                topk=topk,
-            )
-            scalar_acc += np.asarray(stats.scalars, dtype=np.float64)
-            counter_acc += np.asarray(stats.counters, dtype=np.float64)
+            if use_fused:
+                top_vals, top_idx, user_rmse = self._fused_block(recommender_object, uids)
+                stats = evaluate_batch_from_topk(
+                    top_vals,
+                    top_idx,
+                    test_rows,
+                    jnp.take(self._n_pos, uids_j),
+                    jnp.asarray(valid),
+                    novelty_terms,
+                    pop_norm,
+                    user_rmse,
+                    cutoffs=cutoffs,
+                    max_cutoff=self.max_cutoff,
+                )
+            else:
+                scores = self._score_block(recommender_object, uids)
+                scores = self._restrict_candidates(scores, uids)
 
-            if self.diversity_object is not None:
-                self._accumulate_diversity(diversity_values, scores, valid, cutoffs)
+                topk = None
+                if self._plan is not None:
+                    plan = self._plan
+                    test_rows = jax.device_put(test_rows, plan.user_rows)
+                    n_model = plan.n_model
+                    if (
+                        n_model > 1
+                        and self.n_items % n_model == 0
+                        and self.max_cutoff <= self.n_items // n_model
+                    ):
+                        # items sharded over the model axis: per-shard top-k +
+                        # all-gather merge, exact for k <= shard width
+                        from ganmf_tpu.ops.topk import sharded_topk
+
+                        scores = jax.device_put(scores, plan.urm)
+                        topk = sharded_topk(
+                            scores, self.max_cutoff, plan, batch_axes=plan.user_axes
+                        )
+                    else:
+                        scores = jax.device_put(scores, plan.user_rows)
+                stats = evaluate_batch(
+                    scores,
+                    test_rows,
+                    jnp.take(self._n_pos, uids_j),
+                    jnp.asarray(valid),
+                    novelty_terms,
+                    pop_norm,
+                    cutoffs=cutoffs,
+                    max_cutoff=self.max_cutoff,
+                    topk=topk,
+                )
+                if self.diversity_object is not None:
+                    self._accumulate_diversity(diversity_values, scores, valid, cutoffs)
+
+            scalar_acc = scalar_acc + stats.scalars
+            counter_acc = counter_acc + stats.counters
 
             start += block_size
 
-        return self._finalize(scalar_acc, counter_acc, diversity_values, n_eval, recommender_object)
+        return self._finalize(
+            np.asarray(scalar_acc, dtype=np.float64),
+            np.asarray(counter_acc, dtype=np.float64),
+            diversity_values,
+            n_eval,
+            recommender_object,
+        )
 
     def _accumulate_diversity(self, diversity_values, scores, valid, cutoffs):
         """Intra-list diversity from a user-provided item diversity matrix

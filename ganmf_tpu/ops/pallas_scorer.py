@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: int):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     scores = jax.lax.dot_general(
         u_ref[:], v_ref[:],
@@ -61,49 +61,65 @@ def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: i
     idx_ref[:] = jnp.stack(sel_idx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile", "row_block", "interpret"))
 def masked_topk_scores(
     user_factors: jnp.ndarray,  # [B, K]
     item_factors: jnp.ndarray,  # [I, K]
     seen_mask: jnp.ndarray,  # [B, I] nonzero = exclude
     k: int,
     tile: int = 512,
+    row_block: int = 256,
     interpret: bool = False,
 ):
-    """Streaming top-k of masked MF scores. Returns (values [B,k], ids [B,k])."""
+    """Streaming top-k of masked MF scores. Returns (values [B,k], ids [B,k]).
+
+    2D grid (row blocks x item tiles, tiles fastest): the working set per
+    program is row_block x tile, keeping VMEM bounded for eval-sized user
+    blocks (a single-row-block kernel at B=1000 blew the 16 MB scoped-vmem
+    limit)."""
     B, K = user_factors.shape
     I = item_factors.shape[0]
     if not interpret:
         # Mosaic requires the lane (last) block dimension to be a multiple
         # of 128
         tile = max(128, (tile // 128) * 128)
+    # the unrolled k-sweep's live temporaries scale with row_block * k;
+    # cap their product so the scoped-VMEM stack stays under the 16 MB
+    # limit (measured: 256 rows x k=20 fits, 256 x k=50 needs ~19 MB)
+    row_block = min(row_block, max(8, (5120 // max(k, 1)) // 8 * 8))
+    row_block = min(row_block, B)
+    rpad = (-B) % row_block
+    if rpad:
+        user_factors = jnp.pad(user_factors, ((0, rpad), (0, 0)))
+        seen_mask = jnp.pad(seen_mask.astype(jnp.int8), ((0, rpad), (0, 0)), constant_values=1)
+    else:
+        seen_mask = seen_mask.astype(jnp.int8)
     pad = (-I) % tile
     if pad:
         item_factors = jnp.pad(item_factors, ((0, pad), (0, 0)))
-        seen_mask = jnp.pad(seen_mask.astype(jnp.int8), ((0, 0), (0, pad)), constant_values=1)
-    else:
-        seen_mask = seen_mask.astype(jnp.int8)
+        seen_mask = jnp.pad(seen_mask, ((0, 0), (0, pad)), constant_values=1)
     n_tiles = (I + pad) // tile
+    n_rblocks = (B + rpad) // row_block
 
     grid_spec = pl.GridSpec(
-        grid=(n_tiles,),
+        grid=(n_rblocks, n_tiles),
         in_specs=[
-            pl.BlockSpec((B, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, K), lambda t: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, K), lambda r, t: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, K), lambda r, t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, tile), lambda r, t: (r, t), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, k), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, k), lambda r, t: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_block, k), lambda r, t: (r, 0), memory_space=pltpu.VMEM),
         ),
     )
     vals, idx = pl.pallas_call(
         functools.partial(_scorer_kernel, k=k, tile=tile),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B + rpad, k), jnp.float32),
+            jax.ShapeDtypeStruct((B + rpad, k), jnp.int32),
         ),
         interpret=interpret,
     )(user_factors.astype(jnp.float32), item_factors.astype(jnp.float32), seen_mask)
-    return vals, idx
+    return vals[:B], idx[:B]

@@ -131,3 +131,44 @@ def test_reader_remove_top_pop_and_sample(tmp_path):
     cfg2 = DatasetConfig(sample=0.5, split=False)
     reader2 = InteractionReader(str(path), config=cfg2).process()
     assert reader2.urm.shape[0] <= 20
+
+
+def test_fused_eval_path_matches_dense(urm_pair):
+    """The Pallas fused-scorer evaluation path produces identical metrics
+    to the dense [B, I] path for MF models, including RMSE and cold users."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.eval.evaluator import EvaluatorHoldout
+    from ganmf_tpu.models.base import MatrixFactorizationRecommender
+
+    train, test = urm_pair
+    train = train.copy().tolil()
+    train[3, :] = 0  # make user 3 cold
+    train = train.tocsr()
+    train.eliminate_zeros()
+    # explicit ratings in test so RMSE is non-trivial
+    test = test.copy()
+    test.data = np.clip(test.data * 4.0, 1.0, 5.0)
+
+    rng = np.random.RandomState(0)
+    m = MatrixFactorizationRecommender(train)
+    m.USER_factors = rng.randn(train.shape[0], 6).astype(np.float32)
+    m.ITEM_factors = rng.randn(train.shape[1], 6).astype(np.float32)
+
+    ev = EvaluatorHoldout(test, [5, 20])
+    assert ev._can_fuse(m)
+    fused, _ = ev.evaluateRecommender(m)
+
+    ev2 = EvaluatorHoldout(test, [5, 20])
+    ev2._can_fuse = lambda model: False  # force dense path
+    dense, _ = ev2.evaluateRecommender(m)
+
+    for c in (5, 20):
+        for metric, value in dense[c].items():
+            got = fused[c][metric]
+            if np.isnan(value):
+                # a cold evaluated user has no finite test predictions; the
+                # reference's RMSE sum goes NaN identically (metrics.py:644)
+                assert np.isnan(got), (c, metric)
+            else:
+                assert got == pytest.approx(value, rel=1e-5, abs=1e-6), (c, metric)
