@@ -5,7 +5,14 @@ streaming interaction parsing with dedup (:275-379), dense user/item
 reindexing (:386-480), iterative k-core filtering and per-user multinomial
 train/test/validation assignment (:482-633), and the config-hash process
 cache (:700-792). The splitter reproduces the reference's numpy RNG call
-sequence exactly, so a given seed yields byte-identical splits.
+sequence exactly: replaying the committed artifact chain from seed 1337
+reproduces the committed validation/train_small/early_stop npz files
+byte-for-byte and the train/test per-user counts exactly, on all three
+datasets (tests/test_data.py::test_golden_split_parity; the primary
+train/test *assignment* additionally depends on the raw file's
+within-row interaction order, which the committed sorted artifacts do
+not preserve — the one stage byte-parity cannot replay without the raw
+ratings files).
 """
 
 from __future__ import annotations
