@@ -108,3 +108,52 @@ def Movielens(version: str = "10M", data_dir: Optional[str] = None, **config) ->
 
 def LastFM(data_dir: Optional[str] = None, **config) -> InteractionReader:
     return _reader_for(LASTFM_SPEC, data_dir, **config).process()
+
+
+def download_kaggle_dataset(dataset: str, files="all", data_dir: Optional[str] = None,
+                            verbose: bool = True) -> str:
+    """Fetch a Kaggle dataset through the kaggle CLI and unzip it.
+
+    Equivalent of the reference's DataReader.download_kaggle_dataset
+    (datasets/DataReader.py:211-273): requires ~/.kaggle/kaggle.json,
+    downloads into <data_dir>/<dataset-name>/, extracts and removes the
+    archives. ``files`` is 'all', one filename, or a list of filenames.
+    Returns the dataset directory. Unexercised in CI (no egress here);
+    raises with a clear message when credentials or the CLI are absent.
+    """
+    import shutil
+    import subprocess
+    import sys
+    import zipfile
+
+    kaggle_json = os.path.expanduser("~/.kaggle/kaggle.json")
+    if not os.path.exists(kaggle_json):
+        raise IOError("File kaggle.json not found in ~/.kaggle. Please place it there and rerun.")
+
+    kaggle_cmd = shutil.which("kaggle") or os.path.join(os.path.dirname(sys.executable), "kaggle")
+    if not os.path.exists(kaggle_cmd):
+        raise IOError("kaggle CLI not found; `pip install kaggle` to use this fetch path.")
+
+    dataset_path = os.path.join(_data_dir(data_dir), dataset.split("/")[-1])
+    os.makedirs(dataset_path, exist_ok=True)
+
+    base = [kaggle_cmd, "datasets", "download", dataset, "-p", dataset_path, "--force"]
+    if files == "all":
+        subprocess.run(base, check=True)
+    elif isinstance(files, (list, tuple)):
+        for f in files:
+            subprocess.run(base + ["-f", f], check=True)
+    elif isinstance(files, str):
+        subprocess.run(base + ["-f", files], check=True)
+    else:
+        raise ValueError("files argument accepts either `all`, a single filename or a list of filenames.")
+
+    for filename in os.listdir(dataset_path):
+        fpath = os.path.join(dataset_path, filename)
+        if os.path.isfile(fpath) and os.path.splitext(filename)[1] == ".zip":
+            if verbose:
+                print(f"Extracting {filename} (archive removed after).")
+            with zipfile.ZipFile(fpath) as zf:
+                zf.extractall(path=dataset_path)
+            os.remove(fpath)
+    return dataset_path

@@ -366,19 +366,25 @@ class InteractionReader:
         )
 
     def get_cv_folds(self, urm=None, folds: int = 10) -> Iterable[Tuple[sps.csr_matrix, sps.csr_matrix]]:
-        """K-fold CV generator over interactions (reference DataReader.py:635)."""
+        """K-fold CV generator over interactions.
+
+        Reference-identical semantics and RNG call sequence
+        (DataReader.py:635-661): each interaction draws a uniform fold id
+        from the global numpy RNG (folds are a partition but not equal
+        sized), and fold i yields (train = everything else, test = fold i).
+        """
         urm = (urm if urm is not None else self.urm).tocoo()
-        nnz = len(urm.data)
-        order = np.random.permutation(nnz)
-        fold_ids = np.array_split(order, folds)
-        for f in range(folds):
-            test_mask = np.zeros(nnz, dtype=bool)
-            test_mask[fold_ids[f]] = True
-            shape = urm.shape
+        choice = np.random.choice(range(folds), size=len(urm.data))
+        shape = urm.shape
+        for i in range(folds):
+            te_m = choice == i
             tr = sps.coo_matrix(
-                (urm.data[~test_mask], (urm.row[~test_mask], urm.col[~test_mask])), shape=shape
+                (urm.data[~te_m], (urm.row[~te_m], urm.col[~te_m])), shape=shape, dtype=np.float32
             ).tocsr()
             te = sps.coo_matrix(
-                (urm.data[test_mask], (urm.row[test_mask], urm.col[test_mask])), shape=shape
+                (urm.data[te_m], (urm.row[te_m], urm.col[te_m])), shape=shape, dtype=np.float32
             ).tocsr()
             yield tr, te
+
+    # reference-compatible alias (DataReader.py:635)
+    get_CV_folds = get_cv_folds

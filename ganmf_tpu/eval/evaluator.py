@@ -32,6 +32,8 @@ from ganmf_tpu.eval.metrics import (
     normalized_popularity,
 )
 
+from ganmf_tpu.utils.debug import debug_enabled as _debug_enabled
+
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -246,6 +248,11 @@ class _BaseEvaluator:
 
             if use_fused:
                 top_vals, top_idx, user_rmse = self._fused_block(recommender_object, uids)
+                if _debug_enabled() and bool(jnp.isnan(top_vals).any()):
+                    raise FloatingPointError(
+                        f"NaN model scores in evaluation block starting at user index {start}"
+                        " (GANMF_TPU_DEBUG=1)"
+                    )
                 stats = evaluate_batch_from_topk(
                     top_vals,
                     top_idx,
@@ -261,6 +268,11 @@ class _BaseEvaluator:
             else:
                 scores = self._score_block(recommender_object, uids)
                 scores = self._restrict_candidates(scores, uids)
+                if _debug_enabled() and bool(jnp.isnan(scores).any()):
+                    raise FloatingPointError(
+                        f"NaN model scores in evaluation block starting at user index {start}"
+                        " (GANMF_TPU_DEBUG=1)"
+                    )
 
                 topk = None
                 if self._plan is not None:

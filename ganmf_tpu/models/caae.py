@@ -38,6 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ganmf_tpu.models.gan_base import AdversarialRecommender
+from ganmf_tpu.utils.debug import instrumented_jit
 
 
 class MLPParams(NamedTuple):
@@ -79,7 +80,7 @@ def _sgd(tree, grads, lr):
 
 
 @functools.partial(
-    jax.jit,
+    instrumented_jit,
     static_argnames=("d_bsize", "n_d_chunks", "d_steps", "g_steps", "gpr_steps", "m_batch", "n_samples"),
 )
 def caae_epoch(

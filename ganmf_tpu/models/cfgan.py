@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from ganmf_tpu.models.gan_base import AdversarialRecommender, make_batches, padded_weights
+from ganmf_tpu.utils.debug import instrumented_jit
 
 ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
@@ -109,7 +110,7 @@ def sample_negative_masks(key, urm: jnp.ndarray, zr_ratio: float, zp_ratio: floa
 
 
 @functools.partial(
-    jax.jit,
+    instrumented_jit,
     static_argnames=(
         "scheme", "d_hidden_act", "g_hidden_act",
         "d_n_batches", "d_batch", "g_n_batches", "g_batch", "d_steps", "g_steps",

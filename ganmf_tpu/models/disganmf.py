@@ -28,6 +28,7 @@ from ganmf_tpu.models.gan_base import (
     padded_weights,
     shuffled_padded_perm,
 )
+from ganmf_tpu.utils.debug import instrumented_jit
 
 ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
 
@@ -114,7 +115,7 @@ def _l2(tree):
 
 
 @functools.partial(
-    jax.jit,
+    instrumented_jit,
     static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "d_hidden_act", "lazy_user_adam"),
 )
 def disganmf_epoch(

@@ -33,6 +33,7 @@ from ganmf_tpu.models.gan_base import (
     padded_weights,
     shuffled_padded_perm,
 )
+from ganmf_tpu.utils.debug import instrumented_jit
 
 
 class GANMFParams(NamedTuple):
@@ -118,7 +119,7 @@ def _lazy_adam_rows(param, g, m, v, row_mask, lr, t, b1=0.9, b2=0.999, eps=1e-8)
 
 
 @functools.partial(
-    jax.jit,
+    instrumented_jit,
     static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "lazy_user_adam"),
 )
 def ganmf_epoch(

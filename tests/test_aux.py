@@ -179,3 +179,32 @@ def test_slim_zero_non_topk_keeps_negatives():
     np.testing.assert_allclose(out[0, :3], [1.0, -0.5, -0.8])
     out2 = SLIM_BPR._zero_non_topk(A, k=2, axis=1)
     np.testing.assert_allclose(out2[0, :3], [1.0, -0.5, 0.0])
+
+
+def test_debug_mode_surfaces_nan(urm_pair, monkeypatch):
+    """GANMF_TPU_DEBUG=1 recompiles the epoch programs under checkify: a NaN
+    born inside the jitted epoch raises instead of silently propagating
+    (SURVEY §5.2 rebuild note)."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.models import GANMF
+
+    train, _ = urm_pair
+    kwargs = dict(num_factors=4, emb_dim=8, epochs=1, batch_size=16)
+
+    # poisoned learning rate drives params to NaN inside the scan
+    monkeypatch.delenv("GANMF_TPU_DEBUG", raising=False)
+    m = GANMF(train, seed=3)
+    m.fit(d_lr=float("nan"), **kwargs)  # silent propagation without debug
+    assert not np.isfinite(np.asarray(m.params.enc_w)).all()
+
+    monkeypatch.setenv("GANMF_TPU_DEBUG", "1")
+    m2 = GANMF(train, seed=3)
+    with pytest.raises(Exception) as exc_info:
+        m2.fit(d_lr=float("nan"), **kwargs)
+    assert "nan" in str(exc_info.value).lower()
+
+    # healthy training passes the checks
+    m3 = GANMF(train, seed=3)
+    m3.fit(**kwargs)
+    assert np.isfinite(np.asarray(m3.params.user_emb)).all()

@@ -165,3 +165,45 @@ def test_golden_split_parity(dataset, prefix):
     tr_small, _, es = split_urm(tr_for_train, (0.85, 0, 0.15), min_ratings_user=1)
     assert_same(tr_small, train_small, "stage C train_small")
     assert_same(es, early_stop, "stage C early_stop")
+
+
+def test_cv_folds_reference_semantics():
+    """get_cv_folds partitions interactions by a single np.random.choice
+    draw, matching the reference generator (DataReader.py:635-661)."""
+    from ganmf_tpu.data.reader import InteractionReader, split_urm  # noqa: F401
+    from ganmf_tpu.data import reader as reader_mod
+
+    rng_mat = np.random.RandomState(0)
+    urm = sps.random(30, 40, density=0.2, random_state=rng_mat, format="csr", dtype=np.float32)
+
+    class Holder:
+        pass
+
+    h = Holder()
+    h.urm = urm
+    np.random.seed(99)
+    folds = list(reader_mod.InteractionReader.get_cv_folds(h, folds=5))
+
+    # oracle: same global-RNG call sequence as the reference
+    np.random.seed(99)
+    coo = urm.tocoo()
+    choice = np.random.choice(range(5), size=len(coo.data))
+    assert len(folds) == 5
+    total_test = 0
+    for i, (tr, te) in enumerate(folds):
+        assert te.nnz == int((choice == i).sum())
+        assert tr.nnz + te.nnz == urm.nnz
+        # partition: no overlap
+        assert (tr.multiply(te)).nnz == 0
+        total_test += te.nnz
+    assert total_test == urm.nnz
+    # alias exists
+    assert reader_mod.InteractionReader.get_CV_folds is reader_mod.InteractionReader.get_cv_folds
+
+
+def test_kaggle_download_requires_credentials(tmp_path, monkeypatch):
+    from ganmf_tpu.data.datasets import download_kaggle_dataset
+
+    monkeypatch.setenv("HOME", str(tmp_path))  # no ~/.kaggle/kaggle.json
+    with pytest.raises(IOError):
+        download_kaggle_dataset("someone/some-dataset", data_dir=str(tmp_path))

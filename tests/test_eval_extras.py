@@ -172,3 +172,28 @@ def test_fused_eval_path_matches_dense(urm_pair):
                 assert np.isnan(got), (c, metric)
             else:
                 assert got == pytest.approx(value, rel=1e-5, abs=1e-6), (c, metric)
+
+
+def test_debug_mode_catches_nan_scores(urm_pair, monkeypatch):
+    from ganmf_tpu.eval.evaluator import EvaluatorHoldout
+
+    train, test = urm_pair
+
+    class NaNScorer:
+        def __init__(self, t):
+            self._t = t
+
+        def get_URM_train(self):
+            return self._t
+
+        def _compute_item_score(self, uids):
+            return np.full((len(uids), self._t.shape[1]), np.nan, np.float32)
+
+        def device_train_mask(self):
+            import jax.numpy as jnp
+
+            return jnp.asarray(np.asarray(self._t.todense()) > 0)
+
+    monkeypatch.setenv("GANMF_TPU_DEBUG", "1")
+    with pytest.raises(FloatingPointError):
+        EvaluatorHoldout(test, [5]).evaluateRecommender(NaNScorer(train))
