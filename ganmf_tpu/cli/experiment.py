@@ -327,6 +327,7 @@ class RecSysExp:
 
 
 def main(arguments: List[str]):
+    # 50 evals like the reference (RecSysExp.py:417); --evals N overrides
     EVALS = 50
     algo = None
     sim = None
@@ -334,6 +335,12 @@ def main(arguments: List[str]):
     build_dataset = False
     train_mode = ""
     similarity_mode = ""
+
+    arguments = list(arguments)
+    if "--evals" in arguments:
+        i = arguments.index("--evals")
+        EVALS = int(arguments[i + 1])
+        del arguments[i : i + 2]
 
     for arg in arguments:
         if arg == "--build-dataset":
@@ -374,5 +381,8 @@ def main(arguments: List[str]):
 
 
 if __name__ == "__main__":
-    assert len(sys.argv) >= 2, "usage: experiment.py [--build-dataset] <dataset> <rec> [--user|--item] [<similarity>]"
+    assert len(sys.argv) >= 2, (
+        "usage: experiment.py [--build-dataset] <dataset> <rec> [--user|--item]"
+        " [<similarity>] [--evals N]"
+    )
     main(sys.argv[1:])

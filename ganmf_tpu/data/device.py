@@ -11,7 +11,7 @@ For multi-chip runs the dense matrix is sharded over the mesh's user axis
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -83,3 +83,45 @@ class DeviceURM:
 
     def item_popularity(self) -> np.ndarray:
         return np.ediff1d(self._csr.tocsc().indptr)
+
+
+class PaddedCSR(NamedTuple):
+    """Row-padded sparse matrix resident in HBM: ``idx[r]`` holds row r's
+    column indices padded with the ``n_cols`` sentinel, ``val[r]`` the
+    values padded with 0. Memory is O(rows * max_row_nnz) instead of
+    O(rows * cols) — the streamed-URM storage for datasets whose dense
+    [U, I] would not fit HBM (SURVEY §5.7 long-context analogue)."""
+
+    idx: jnp.ndarray  # [R, L] int32
+    val: jnp.ndarray  # [R, L] float32
+
+
+def padded_csr_from_sparse(mat: sps.spmatrix) -> PaddedCSR:
+    csr = mat.tocsr().astype(np.float32)
+    csr.eliminate_zeros()
+    R, C = csr.shape
+    lens = np.ediff1d(csr.indptr)
+    L = max(int(lens.max()) if R else 0, 1)
+    idx = np.full((R, L), C, dtype=np.int32)
+    val = np.zeros((R, L), dtype=np.float32)
+    rows = np.repeat(np.arange(R), lens)
+    offs = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lens)
+    idx[rows, offs] = csr.indices
+    val[rows, offs] = csr.data
+    return PaddedCSR(jnp.asarray(idx), jnp.asarray(val))
+
+
+def padded_rows_dense(pc: PaddedCSR, uids: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Densify a batch of rows on device: gather the padded entries and
+    scatter into a [B, n_cols] zeros block (sentinel column dropped)."""
+    bi = jnp.take(pc.idx, uids, axis=0)  # [B, L]
+    bv = jnp.take(pc.val, uids, axis=0)
+    B = bi.shape[0]
+    out = jnp.zeros((B, n_cols + 1), bv.dtype)
+    out = out.at[jnp.arange(B)[:, None], bi].add(bv)
+    return out[:, :n_cols]
+
+
+def padded_rows_mask(pc: PaddedCSR, uids: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+    """Boolean seen-mask rows from the padded storage."""
+    return padded_rows_dense(pc, uids, n_cols) != 0

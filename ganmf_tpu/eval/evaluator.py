@@ -14,6 +14,7 @@ ordering and formatting (Evaluator.py:95-110, 362-414).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -50,6 +51,40 @@ def _pair_rmse(U_b, V, cold_b, ids, tvals, pvalid, seen_pairs):
     sq = jnp.where(fin, (s - tvals) ** 2, 0.0)
     cnt = jnp.sum(fin, axis=1)
     return jnp.where(cnt > 0, jnp.sqrt(jnp.sum(sq, axis=1) / jnp.maximum(cnt, 1.0)), jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("cutoffs",))
+def _diversity_block(M_dev, top_idx, top_val, valid, cutoffs):
+    """Per-cutoff intra-list diversity sums for one user block (vectorized
+    equivalent of the reference's per-user/per-position python loop,
+    metrics.py:405-458). -inf-scored entries sort to the list tail, so the
+    finite prefix of each row is the user's actual recommendation list."""
+    finite = jnp.isfinite(top_val)  # [B, K]
+    out = []
+    for c in cutoffs:
+        items = top_idx[:, :c]  # [B, c]
+        fin = finite[:, :c]
+        L = jnp.sum(fin, axis=1)  # [B]
+        # G[b, p, j] = M[items[p], items[j]]
+        rows = jnp.take(M_dev, items, axis=0)  # [B, c, I]
+        G = jnp.take_along_axis(rows, items[:, None, :], axis=2)  # [B, c, c]
+        p_idx = jnp.arange(c)
+        pair = (p_idx[:, None] < (L[:, None, None] - 1)) & (p_idx[None, :] < L[:, None, None])
+        pair = pair & (p_idx[:, None] != p_idx[None, :])
+        total = jnp.sum(jnp.where(pair, G, 0.0), axis=(1, 2))
+        denom = (L * (L - 1)).astype(jnp.float32)
+        per_user = jnp.where((L > 1) & valid, total / jnp.maximum(denom, 1.0), 0.0)
+        out.append(jnp.sum(per_user.astype(jnp.float64)
+                           if jax.config.jax_enable_x64 else per_user))
+    return jnp.stack(out)
+
+
+def _seen_rows(model, uids: jnp.ndarray) -> jnp.ndarray:
+    """[B, I] bool seen-mask rows; duck-typed models may only provide the
+    dense device_train_mask."""
+    if hasattr(model, "device_seen_rows"):
+        return model.device_seen_rows(uids)
+    return jnp.take(model.device_train_mask(), uids, axis=0)
 
 
 def get_result_string(results_run: Dict, n_decimals: int = 7) -> str:
@@ -94,6 +129,7 @@ class _BaseEvaluator:
         self.minRatingsPerUser = minRatingsPerUser
         self.exclude_seen = exclude_seen
         self.diversity_object = diversity_object
+        self._diversity_dev = None
 
         self.n_users, self.n_items = self.URM_test.shape
 
@@ -150,8 +186,7 @@ class _BaseEvaluator:
                 np.asarray(model._compute_item_score(np.asarray(user_ids)), dtype=np.float32)
             )
         if self.exclude_seen:
-            seen = model.device_train_mask()  # [U, I] bool on device
-            scores = jnp.where(jnp.take(seen, uids, axis=0), -jnp.inf, scores)
+            scores = jnp.where(_seen_rows(model, uids), -jnp.inf, scores)
         if self._ignore_items_mask is not None:
             scores = jnp.where(self._ignore_items_mask[None, :], -jnp.inf, scores)
         return scores
@@ -186,7 +221,7 @@ class _BaseEvaluator:
         U, V, cold = model._factors_device()
         U_b = jnp.take(U, uids, axis=0)
         if self.exclude_seen:
-            seen = jnp.take(model.device_train_mask(), uids, axis=0)
+            seen = _seen_rows(model, uids)
         else:
             seen = jnp.zeros((len(uids_np), self.n_items), bool)
         if self._ignore_items_mask is not None:
@@ -323,24 +358,22 @@ class _BaseEvaluator:
 
     def _accumulate_diversity(self, diversity_values, scores, valid, cutoffs):
         """Intra-list diversity from a user-provided item diversity matrix
-        (metrics.py:405-458). Host-side; only runs when requested."""
-        M = self.diversity_object
-        top_idx = np.asarray(jax.lax.top_k(scores, self.max_cutoff)[1])
-        top_val = np.asarray(jax.lax.top_k(scores, self.max_cutoff)[0])
-        for ci, c in enumerate(cutoffs):
-            for b in range(top_idx.shape[0]):
-                if not valid[b]:
-                    continue
-                items = top_idx[b][: c][np.isfinite(top_val[b][: c])]
-                L = len(items)
-                if L <= 1:
-                    continue
-                total = 0.0
-                for pos in range(L - 1):
-                    row = np.array(M[items[pos], items]).ravel().astype(np.float64)
-                    row[pos] = 0.0
-                    total += row.sum()
-                diversity_values[ci] += total / (L * (L - 1))
+        (metrics.py:405-458), as one jitted device program per block.
+
+        Reference semantics (Diversity_similarity.add_recommendations):
+        total = sum over list positions p in [0, L-2] of the similarity of
+        item p to every *other* recommended item (all j != p, including
+        j > p and j < p), normalized by L*(L-1)."""
+        if self._diversity_dev is None:
+            M = self.diversity_object
+            dense = M.toarray() if sps.issparse(M) else np.asarray(M)
+            self._diversity_dev = jnp.asarray(dense, dtype=jnp.float32)
+        top_val, top_idx = jax.lax.top_k(scores, self.max_cutoff)
+        sums = _diversity_block(
+            self._diversity_dev, top_idx, top_val, jnp.asarray(valid), tuple(cutoffs)
+        )
+        for ci in range(len(cutoffs)):
+            diversity_values[ci] += float(sums[ci])
 
     def _finalize(self, scalar_acc, counter_acc, diversity_values, n_eval, recommender_object):
         results_dict: Dict[int, Dict[str, float]] = {}

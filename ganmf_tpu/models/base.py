@@ -147,8 +147,22 @@ class Recommender:
     def device_train_mask(self) -> jnp.ndarray:
         return self.device_urm().mask
 
+    def device_seen_rows(self, uids: jnp.ndarray) -> jnp.ndarray:
+        """[B, I] bool seen-mask rows for the given users. Default gathers
+        from the dense [U, I] mask; models trained with streamed (padded-CSR)
+        URM storage build the rows by scatter instead, keeping eval O(nnz)
+        in HBM too."""
+        if getattr(self, "_stream_seen", False):
+            from ganmf_tpu.data.device import padded_csr_from_sparse, padded_rows_mask
+
+            if getattr(self, "_seen_padded", None) is None:
+                self._seen_padded = padded_csr_from_sparse(self.URM_train)
+            return padded_rows_mask(self._seen_padded, uids, self.n_items)
+        return jnp.take(self.device_train_mask(), uids, axis=0)
+
     def _invalidate_device_cache(self):
         self._durm = None
+        self._seen_padded = None
 
     # -- reference-compatible accessors ---------------------------------------
     def get_URM_train(self):
@@ -384,7 +398,7 @@ class MatrixFactorizationRecommender(Recommender):
         uids = jnp.asarray(user_id_array, dtype=jnp.int32)
         U, V, cold = self._factors_device()
         if remove_seen_flag:
-            seen = jnp.take(self.device_train_mask(), uids, axis=0)
+            seen = self.device_seen_rows(uids)
         else:
             seen = jnp.zeros((len(user_id_array), self.n_items), bool)
         # TPU path compiles the kernel; CPU runs the interpreter

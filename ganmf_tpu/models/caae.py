@@ -121,17 +121,32 @@ def caae_epoch(
     gpr_prob_full = jax.nn.softmax(gpr_logits_full, axis=1)
 
     # ---------------- D phase -------------------------------------------------
-    def d_loss_fn(d_p, u, pos, neg, w):
-        u_emb, i_emb, i_bias = d_p
-        ue = jnp.take(u_emb, u, axis=0)
-        pe = jnp.take(i_emb, pos, axis=0)
-        ne = jnp.take(i_emb, neg, axis=0)
-        pb = jnp.take(i_bias, pos)
-        nb = jnp.take(i_bias, neg)
+    # The BPR loss touches only the 3 * d_bsize gathered embedding rows, so
+    # grads are taken w.r.t. the gathered values and scattered back with
+    # .at[].add — numerically the dense jax.grad + SGD update (a scatter-add
+    # into zeros followed by a full-table write), without streaming the whole
+    # [U,K]/[I,K] tables through HBM twice per chunk.
+    def d_local_loss(vals, w):
+        ue, pe, ne, pb, nb = vals
         x = jnp.sum(ue * (pe - ne), axis=1) + (pb - nb)
         log_lik = jnp.sum(jax.nn.log_sigmoid(x) * w) / jnp.maximum(jnp.sum(w), 1.0)
         reg_rows = 0.5 * (jnp.sum(ue**2, 1) + jnp.sum(pe**2, 1) + jnp.sum(ne**2, 1) + pb**2 + nb**2)
         return -log_lik + beta * jnp.sum(reg_rows * w)
+
+    def d_sparse_update(d_p, u, pos, neg, w):
+        u_emb, i_emb, i_bias = d_p
+        vals = (
+            jnp.take(u_emb, u, axis=0),
+            jnp.take(i_emb, pos, axis=0),
+            jnp.take(i_emb, neg, axis=0),
+            jnp.take(i_bias, pos),
+            jnp.take(i_bias, neg),
+        )
+        g_ue, g_pe, g_ne, g_pb, g_nb = jax.grad(d_local_loss)(vals, w)
+        u_emb = u_emb.at[u].add(-lr * g_ue)
+        i_emb = i_emb.at[pos].add(-lr * g_pe).at[neg].add(-lr * g_ne)
+        i_bias = i_bias.at[pos].add(-lr * g_pb).at[neg].add(-lr * g_nb)
+        return (u_emb, i_emb, i_bias)
 
     def d_chunk_update(carry, step):
         d_p, k = carry
@@ -145,10 +160,8 @@ def caae_epoch(
         neg_gpr = jax.random.categorical(k2, jnp.take(gpr_logits_full, u, axis=0))
 
         # one update with G negatives, one with G' negatives (CAAE.py:255-265)
-        grads = jax.grad(d_loss_fn)(d_p, u, pos, neg_g, w)
-        d_p = _sgd(d_p, grads, lr)
-        grads = jax.grad(d_loss_fn)(d_p, u, pos, neg_gpr, w)
-        d_p = _sgd(d_p, grads, lr)
+        d_p = d_sparse_update(d_p, u, pos, neg_g, w)
+        d_p = d_sparse_update(d_p, u, pos, neg_gpr, w)
         return (d_p, k), None
 
     d_p = (params.d_user_emb, params.d_item_emb, params.d_item_bias)
@@ -297,6 +310,7 @@ class CAAE(AdversarialRecommender):
             urm = jax.device_put(urm, mesh_plan.urm)
 
         m_batch_eff = int(min(m_batch, self.n_users))
+        start_epoch = self.resume_from_checkpoint()  # also restores _epoch_key
 
         def epoch_fn(epoch):
             self._epoch_key, sub = jax.random.split(self._epoch_key)
@@ -312,10 +326,20 @@ class CAAE(AdversarialRecommender):
         self._score_cache = None
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,
-            allow_worse, freq, list(metrics), after, epoch_fn,
+            allow_worse, freq, list(metrics), after, epoch_fn, start_epoch=start_epoch,
         )
         self._invalidate_device_cache()
         return result
+
+    # -- crash resume (full training state; plain SGD, no optimizer state) -----
+    def _checkpoint_state(self):
+        return {"params": self.params, "epoch_key": self._epoch_key}
+
+    def _restore_checkpoint_state(self, state):
+        from ganmf_tpu.models.gan_base import coerce_pytree
+
+        self.params = coerce_pytree(self.params, state["params"])
+        self._epoch_key = jnp.asarray(state["epoch_key"])
 
     def _on_params_loaded(self):
         self._score_cache = None

@@ -244,14 +244,14 @@ class CFGAN(AdversarialRecommender):
             self.params = shard_cfgan_params(self.params, mesh_plan)
             urm = jax.device_put(urm, mesh_plan.urm)
 
-        d_state = ADAM.init(self.params.D)
-        g_state = ADAM.init(self.params.G)
+        self._d_state = ADAM.init(self.params.D)
+        self._g_state = ADAM.init(self.params.G)
+        start_epoch = self.resume_from_checkpoint()  # also restores _epoch_key
 
         def epoch_fn(epoch):
-            nonlocal d_state, g_state
             self._epoch_key, sub = jax.random.split(self._epoch_key)
-            self.params, d_state, g_state = cfgan_epoch(
-                self.params, d_state, g_state, urm, sub, d_weights, g_weights,
+            self.params, self._d_state, self._g_state = cfgan_epoch(
+                self.params, self._d_state, self._g_state, urm, sub, d_weights, g_weights,
                 jnp.float32(d_lr), jnp.float32(g_lr), jnp.float32(d_reg), jnp.float32(g_reg),
                 jnp.float32(zr_ratio), jnp.float32(zp_ratio), jnp.float32(zr_coefficient),
                 scheme=scheme, d_hidden_act=d_hidden_act, g_hidden_act=g_hidden_act,
@@ -264,10 +264,27 @@ class CFGAN(AdversarialRecommender):
         self._score_cache = None
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,
-            allow_worse, freq, list(metrics), after, epoch_fn,
+            allow_worse, freq, list(metrics), after, epoch_fn, start_epoch=start_epoch,
         )
         self._invalidate_device_cache()
         return result
+
+    # -- crash resume (full training state) -----------------------------------
+    def _checkpoint_state(self):
+        return {
+            "params": self.params,
+            "d_state": self._d_state,
+            "g_state": self._g_state,
+            "epoch_key": self._epoch_key,
+        }
+
+    def _restore_checkpoint_state(self, state):
+        from ganmf_tpu.models.gan_base import coerce_pytree
+
+        self.params = coerce_pytree(self.params, state["params"])
+        self._d_state = coerce_pytree(self._d_state, state["d_state"])
+        self._g_state = coerce_pytree(self._g_state, state["g_state"])
+        self._epoch_key = jnp.asarray(state["epoch_key"])
 
     def _on_params_loaded(self):
         self._score_cache = None

@@ -241,23 +241,27 @@ class DisGANMF(AdversarialRecommender):
 
             self.params = shard_disganmf_params(self.params, mesh_plan)
             urm = jax.device_put(urm, mesh_plan.urm)
-        d_state = ADAM.init(_d_params(self.params))
-        g_state = (
+        self._d_state = ADAM.init(_d_params(self.params))
+        self._g_state = (
             ADAM.init((self.params.item_emb,)),
             jnp.zeros_like(self.params.user_emb),
             jnp.zeros_like(self.params.user_emb),
             jnp.float32(0.0),
         )
+        start_epoch = self.resume_from_checkpoint()
 
         n_batches, padded = make_batches(n_rows, int(batch_size))
         weights = jnp.asarray(padded_weights(n_rows, padded))
         rng = np.random.RandomState(self.seed)
+        # resume: replay the shuffle stream past completed epochs so the
+        # resumed run matches the uninterrupted one (one draw per epoch)
+        for _ in range(start_epoch - 1):
+            shuffled_padded_perm(rng, n_rows, padded)
 
         def epoch_fn(epoch):
-            nonlocal d_state, g_state
             perm = jnp.asarray(shuffled_padded_perm(rng, n_rows, padded))
-            self.params, d_state, g_state, _, _ = disganmf_epoch(
-                self.params, d_state, g_state, urm, perm, weights,
+            self.params, self._d_state, self._g_state, _, _ = disganmf_epoch(
+                self.params, self._d_state, self._g_state, urm, perm, weights,
                 jnp.float32(d_lr), jnp.float32(g_lr),
                 jnp.float32(recon_coefficient), jnp.float32(d_reg), jnp.float32(g_reg),
                 n_batches=n_batches, batch_size=int(batch_size),
@@ -267,10 +271,21 @@ class DisGANMF(AdversarialRecommender):
 
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,
-            allow_worse, freq, list(metrics), after, epoch_fn,
+            allow_worse, freq, list(metrics), after, epoch_fn, start_epoch=start_epoch,
         )
         self._invalidate_device_cache()
         return result
+
+    # -- crash resume (full training state) -----------------------------------
+    def _checkpoint_state(self):
+        return {"params": self.params, "d_state": self._d_state, "g_state": self._g_state}
+
+    def _restore_checkpoint_state(self, state):
+        from ganmf_tpu.models.gan_base import coerce_pytree
+
+        self.params = coerce_pytree(self.params, state["params"])
+        self._d_state = coerce_pytree(self._d_state, state["d_state"])
+        self._g_state = coerce_pytree(self._g_state, state["g_state"])
 
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
         hi = jax.lax.Precision.HIGHEST

@@ -124,8 +124,26 @@ class IncrementalTrainingEarlyStopping:
         self.epochs_best = 0
         epochs_current = 0
 
+        # optional crash resume: models that define _checkpoint_state and set
+        # self.checkpointer restore the latest training state and continue
+        # (validation-tracking state restarts; best-model snapshots are
+        # re-established at the next validation)
+        checkpointer = getattr(self, "checkpointer", None)
+        can_checkpoint = checkpointer is not None and hasattr(self, "_checkpoint_state")
+        if can_checkpoint:
+            latest = checkpointer.latest_epoch()
+            if latest is not None:
+                self._restore_checkpoint_state(
+                    checkpointer.restore(latest, self._checkpoint_state())
+                )
+                epochs_current = latest
+                self.epochs_best = latest
+
         while epochs_current < epochs_max and not convergence:
             self._run_epoch(epochs_current)
+
+            if can_checkpoint:
+                checkpointer.maybe_save(epochs_current + 1, self._checkpoint_state())
 
             if evaluator_object is None:
                 self.epochs_best = epochs_current

@@ -60,29 +60,60 @@ class NMFRecommender(MatrixFactorizationRecommender):
 
 @functools.partial(jax.jit, static_argnames=())
 def _ease_r_weights(A: jnp.ndarray, l2_norm: float):
+    """B = -P / diag(P) with zero diagonal, P = (A^T A + lambda I)^-1.
+
+    The Gram matrix is symmetric positive definite, so the inverse runs as a
+    Cholesky solve against the identity (LU's pivoting is wasted work here)."""
     hi = jax.lax.Precision.HIGHEST
     G = jnp.dot(A.T, A, precision=hi)
     G = G + l2_norm * jnp.eye(G.shape[0], dtype=G.dtype)
-    P = jnp.linalg.inv(G)
+    P = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(G), jnp.eye(G.shape[0], dtype=G.dtype)
+    )
     B = -P / jnp.diag(P)[None, :]
     return jnp.where(jnp.eye(B.shape[0], dtype=bool), 0.0, B.T).T  # zero diagonal
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ease_r_weights_topk(A: jnp.ndarray, l2_norm: float, k: int):
+    """Fused weights + column-wise top-K selection. Exact zeros (the diagonal)
+    become -inf sentinels so selection runs over stored-nonzero semantics
+    (negatives kept — reference Recommender_utils.py:48-115); only the
+    [I, k] winners ever leave the device."""
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    B = _ease_r_weights(A, l2_norm)
+    sent = jnp.where(B == 0.0, -jnp.inf, B)
+    vals, idx = tiled_topk(sent.T, k)  # per column j: top rows i
+    return jnp.where(jnp.isfinite(vals), vals, 0.0), idx
+
+
 class EASE_R_Recommender(ItemSimilarityRecommender):
     """Embarrassingly Shallow Autoencoder (Steck 2019): B = I - P / diag(P),
-    P = (A^T A + lambda I)^-1, zero diagonal. One device inverse."""
+    P = (A^T A + lambda I)^-1, zero diagonal. One device Cholesky solve;
+    with topK the column prune happens on device and only [I, topK]
+    candidates transfer to host."""
 
     RECOMMENDER_NAME = "EASE_R_Recommender"
 
     def fit(self, topK: int = None, l2_norm: float = 1e3):
         A = self.device_urm().dense
-        B = np.array(_ease_r_weights(A, float(l2_norm)))  # writable copy
-        np.fill_diagonal(B, 0.0)
+        n = A.shape[1]
         if topK is not None:
-            from ganmf_tpu.models.base import similarity_matrix_topk
-
-            self.W_sparse = check_matrix(similarity_matrix_topk(B, k=topK), "csr")
+            vals, idx = _ease_r_weights_topk(A, float(l2_norm), min(int(topK), n))
+            vals = np.asarray(vals, dtype=np.float32)
+            idx = np.asarray(idx)
+            keep = vals != 0.0
+            counts = keep.sum(axis=1)
+            indptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            W = sps.csc_matrix(
+                (vals[keep], idx[keep], indptr), shape=(n, n), dtype=np.float32
+            )
+            self.W_sparse = check_matrix(W, "csr")
         else:
+            B = np.array(_ease_r_weights(A, float(l2_norm)))  # writable copy
+            np.fill_diagonal(B, 0.0)
             self.W_sparse = check_matrix(sps.csr_matrix(B), "csr")
 
 

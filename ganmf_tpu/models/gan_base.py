@@ -21,6 +21,9 @@ from ganmf_tpu.models.base import Recommender
 from ganmf_tpu.models.early_stopping import EarlyStoppingScheduler
 
 
+from ganmf_tpu.utils.checkpoint import coerce_pytree  # noqa: E402 (re-export)
+
+
 class AdversarialRecommender(Recommender):
     """Base for GAN recommenders with (init, epoch, score) device programs."""
 
@@ -90,7 +93,7 @@ class AdversarialRecommender(Recommender):
         return self.params
 
     def _restore_checkpoint_state(self, state):
-        self.params = state
+        self.params = coerce_pytree(self.params, state)
 
     _LOSS_ATTRS = ("train_d_loss", "train_g_loss", "train_pg_loss", "train_ng_loss")
 

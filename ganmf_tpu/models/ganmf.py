@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ganmf_tpu.data.device import PaddedCSR, padded_rows_dense
 from ganmf_tpu.models.gan_base import (
     AdversarialRecommender,
     make_batches,
@@ -141,11 +142,16 @@ def ganmf_epoch(
     g_steps: int,
     lazy_user_adam: bool = False,
 ):
+    n_cols = params.dec_b.shape[0]
+
     def get_batch(step):
         b = step % n_batches
         uids = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
         w = jax.lax.dynamic_slice_in_dim(weights, b * batch_size, batch_size)
-        real = jnp.take(urm, uids, axis=0)
+        if isinstance(urm, PaddedCSR):  # streamed: densify the batch on device
+            real = padded_rows_dense(urm, uids, n_cols)
+        else:
+            real = jnp.take(urm, uids, axis=0)
         return uids, real, w
 
     def d_loss_fn(d_p, p, uids, real, w):
@@ -228,12 +234,19 @@ class GANMF(AdversarialRecommender):
         validation_set=None,
         lazy_user_adam: bool = False,
         mesh_plan=None,
+        urm_storage: str = "dense",
     ):
         """``mesh_plan`` (ganmf_tpu.parallel.MeshPlan, optional): place the
         URM, embeddings and autoencoder kernels over a (data, model) device
         mesh; the same jitted epoch program then runs SPMD with
         GSPMD-inserted collectives (user-axis grad psums over ICI,
-        item-axis contractions). Single-chip runs pass None."""
+        item-axis contractions). Single-chip runs pass None.
+
+        ``urm_storage``: "dense" keeps the [U, I] URM resident in HBM (the
+        default; right whenever it fits). "csr" keeps only the padded-CSR
+        arrays in HBM — O(nnz)-sized — and densifies each [B, I] minibatch
+        on the fly inside the epoch scan, for datasets whose dense matrix
+        would exceed HBM."""
         self.config = dict(
             num_factors=num_factors, emb_dim=emb_dim, epochs=epochs, batch_size=batch_size,
             d_lr=d_lr, g_lr=g_lr, d_steps=d_steps, g_steps=g_steps, d_reg=d_reg, g_reg=g_reg,
@@ -242,13 +255,29 @@ class GANMF(AdversarialRecommender):
         self.num_factors = int(num_factors)
         self.emb_dim = int(emb_dim)
 
-        urm = self._train_dense()  # training orientation
-        n_rows, n_cols = urm.shape
+        self._stream_seen = urm_storage == "csr"
+        if urm_storage == "csr":
+            from ganmf_tpu.data.device import padded_csr_from_sparse
+
+            train_csr = self._train_matrix()
+            n_rows, n_cols = train_csr.shape
+            urm = padded_csr_from_sparse(train_csr)
+        elif urm_storage == "dense":
+            urm = self._train_dense()  # training orientation
+            n_rows, n_cols = urm.shape
+        else:
+            raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
 
         key = jax.random.PRNGKey(self.seed)
         self.params = _init_params(key, n_rows, n_cols, self.num_factors, self.emb_dim)
 
         if mesh_plan is not None:
+            if urm_storage == "csr":
+                raise NotImplementedError(
+                    "urm_storage='csr' is single-chip; shard the dense URM "
+                    "over a mesh_plan instead (per-shard HBM drops by the "
+                    "data-axis size)"
+                )
             from ganmf_tpu.parallel.distributed import shard_ganmf_params
 
             self.params = shard_ganmf_params(self.params, mesh_plan)

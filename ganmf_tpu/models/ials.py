@@ -125,6 +125,14 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
         new_V = _als_half_step(self._W_users.T, self._P_users.T, self._U_dev, self.reg, chunk=self._chunk_i)
         self._V_dev = jnp.where(self._warm_items[:, None], new_V, self._V_dev)
 
+    # -- crash resume (device factors; the epoch itself is deterministic) ------
+    def _checkpoint_state(self):
+        return {"U": self._U_dev, "V": self._V_dev}
+
+    def _restore_checkpoint_state(self, state):
+        self._U_dev = jnp.asarray(state["U"])
+        self._V_dev = jnp.asarray(state["V"])
+
     def _prepare_model_for_validation(self):
         self.USER_factors = np.asarray(self._U_dev)
         self.ITEM_factors = np.asarray(self._V_dev)

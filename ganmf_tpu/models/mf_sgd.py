@@ -175,6 +175,16 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self.USE_BIAS,
         )
 
+    # -- crash resume (optimizer state + sampling key) --------------------------
+    def _checkpoint_state(self):
+        return {"state": self._state, "key": self._key}
+
+    def _restore_checkpoint_state(self, state):
+        from ganmf_tpu.utils.checkpoint import coerce_pytree
+
+        self._state = coerce_pytree(self._state, state["state"])
+        self._key = jnp.asarray(state["key"])
+
     def _prepare_model_for_validation(self):
         self.USER_factors = np.asarray(self._state.U)
         self.ITEM_factors = np.asarray(self._state.V)

@@ -245,6 +245,16 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         S = self._zero_non_topk(S, self.topK, axis=0)
         return check_matrix(sps.csr_matrix(S), "csr")
 
+    # -- crash resume (optimizer state + sampling key) --------------------------
+    def _checkpoint_state(self):
+        return {"state": self._state, "key": self._key}
+
+    def _restore_checkpoint_state(self, state):
+        from ganmf_tpu.utils.checkpoint import coerce_pytree
+
+        self._state = coerce_pytree(self._state, state["state"])
+        self._key = jnp.asarray(state["key"])
+
     def _prepare_model_for_validation(self):
         self.W_sparse = self._get_w_sparse(np.asarray(self._state.W))
         self._invalidate_device_cache()

@@ -22,6 +22,15 @@ except Exception:  # pragma: no cover - orbax is in the base image
     _HAVE_ORBAX = False
 
 
+def coerce_pytree(template, restored):
+    """Re-impose ``template``'s container structure (NamedTuples, tuples)
+    on ``restored`` leaves — checkpoint backends may hand tuples back as
+    lists."""
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), jax.tree_util.tree_leaves(restored)
+    )
+
+
 class TrainCheckpointer:
     """Save/restore a training-state pytree every N epochs."""
 

@@ -46,6 +46,7 @@ def main():
     def record(name, seconds, note=""):
         rows.append((name, seconds, note))
         print(f"{name:45s} {seconds*1e3:10.2f} ms  {note}", flush=True)
+        _write(rows)  # incremental: a killed run keeps its finished rows
 
     for ds in ("1M", "LastFM"):
         splits = load_reference_splits(ds)
@@ -128,6 +129,11 @@ def main():
         record(f"Eval[{ds}] {n_users} users x 4 cutoffs", t,
                f"{n_users/t:,.0f} users/s (ref ~686 users/s on ML-1M)")
 
+    _write(rows)
+    print("wrote PERF.md")
+
+
+def _write(rows):
     lines = [
         "# PERF — measured on one TPU v5e chip",
         "",
@@ -141,7 +147,6 @@ def main():
         lines.append(f"| {name} | {seconds*1e3:.1f} ms | {note} |")
     with open("PERF.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote PERF.md")
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -208,3 +209,98 @@ def test_debug_mode_surfaces_nan(urm_pair, monkeypatch):
     m3 = GANMF(train, seed=3)
     m3.fit(**kwargs)
     assert np.isfinite(np.asarray(m3.params.user_emb)).all()
+
+
+@pytest.mark.parametrize("model_name", ["DisGANMF", "CFGAN", "CAAE"])
+def test_gan_crash_resume_all_trainers(tmp_path, urm_pair, model_name):
+    """DisGANMF/CFGAN/CAAE resume from a mid-run checkpoint and reproduce the
+    uninterrupted run's final state (GANMF covered above)."""
+    from ganmf_tpu.models import CAAE, CFGAN, DisGANMF
+
+    train, _ = urm_pair
+    if model_name == "DisGANMF":
+        cls, kwargs = DisGANMF, dict(num_factors=4, d_nodes=8, epochs=6, batch_size=16)
+    elif model_name == "CFGAN":
+        cls, kwargs = CFGAN, dict(
+            d_nodes=8, g_nodes=8, scheme="ZR", zr_ratio=0.3, zr_coefficient=0.1,
+            d_batch_size=16, g_batch_size=16, epochs=6,
+        )
+    else:
+        cls, kwargs = CAAE, dict(
+            num_factors=4, g_units=8, d_bsize=64, m_batch=8, epochs=6,
+        )
+
+    full = cls(train, seed=3)
+    full.fit(**kwargs)
+
+    m = cls(train, seed=3)
+    m.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    orig_loop = m._run_training_loop
+
+    def cut_short(*args, **kw):
+        epoch_fn = args[8]
+
+        def wrapped(epoch):
+            if epoch > 4:
+                raise KeyboardInterrupt
+            epoch_fn(epoch)
+
+        return orig_loop(*args[:8], wrapped, **kw)
+
+    m._run_training_loop = cut_short
+    with pytest.raises(KeyboardInterrupt):
+        m.fit(**kwargs)
+    assert m.checkpointer.latest_epoch() == 4
+
+    m2 = cls(train, seed=3)
+    m2.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    m2.fit(**kwargs)
+
+    for got, want in zip(
+        jax.tree_util.tree_leaves(m2.params), jax.tree_util.tree_leaves(full.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model_name", ["IALS", "SLIM_BPR", "MF_BPR"])
+def test_baseline_crash_resume(tmp_path, urm_pair, model_name):
+    """The early-stopping baselines resume training state from a checkpoint
+    and reproduce the uninterrupted run."""
+    from ganmf_tpu.models import IALSRecommender, SLIM_BPR
+    from ganmf_tpu.models.mf_sgd import MatrixFactorization_BPR
+
+    train, _ = urm_pair
+    if model_name == "IALS":
+        cls, kwargs = IALSRecommender, dict(num_factors=4, alpha=5.0, epochs=6)
+        leaves = lambda m: [np.asarray(m._U_dev), np.asarray(m._V_dev)]
+    elif model_name == "SLIM_BPR":
+        cls, kwargs = SLIM_BPR, dict(topK=5, learning_rate=0.05, epochs=6)
+        leaves = lambda m: [np.asarray(m._state.W)]
+    else:
+        cls, kwargs = MatrixFactorization_BPR, dict(
+            num_factors=4, learning_rate=0.05, batch_size=32, epochs=6
+        )
+        leaves = lambda m: [np.asarray(m._state.U), np.asarray(m._state.V)]
+
+    full = cls(train)
+    full.fit(**kwargs)
+
+    m = cls(train)
+    m.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    orig = m._run_epoch
+
+    def cut_short(num_epoch):
+        if num_epoch >= 4:
+            raise KeyboardInterrupt
+        orig(num_epoch)
+
+    m._run_epoch = cut_short
+    with pytest.raises(KeyboardInterrupt):
+        m.fit(**kwargs)
+    assert m.checkpointer.latest_epoch() == 4
+
+    m2 = cls(train)
+    m2.checkpointer = TrainCheckpointer(str(tmp_path / "ck"), every_n_epochs=2)
+    m2.fit(**kwargs)
+    for got, want in zip(leaves(m2), leaves(full)):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -197,3 +197,42 @@ def test_debug_mode_catches_nan_scores(urm_pair, monkeypatch):
     monkeypatch.setenv("GANMF_TPU_DEBUG", "1")
     with pytest.raises(FloatingPointError):
         EvaluatorHoldout(test, [5]).evaluateRecommender(NaNScorer(train))
+
+
+def test_diversity_similarity_matches_reference_loop(urm_pair):
+    """The vectorized _diversity_block equals the reference's per-user,
+    per-position accumulation (Base/Evaluation/metrics.py:405-458)."""
+    train, test = urm_pair
+    rng = np.random.RandomState(3)
+    scores = rng.randn(*train.shape).astype(np.float32)
+    M = rng.rand(train.shape[1], train.shape[1]).astype(np.float32)
+
+    model = StubModel(train, scores)
+    cutoffs = [3, 5]
+    ev = EvaluatorHoldout(test, cutoffs, diversity_object=sps.csr_matrix(M))
+    res, _ = ev.evaluateRecommender(model)
+
+    # host oracle: reference Diversity_similarity semantics
+    dense_train = np.asarray(train.todense())
+    dense_test = np.asarray(test.todense())
+    users = ev.usersToEvaluate
+    expected = {c: 0.0 for c in cutoffs}
+    for u in users:
+        s = scores[u].copy()
+        s[dense_train[u] != 0] = -np.inf
+        order = np.argsort(-s)
+        for c in cutoffs:
+            items = order[:c][np.isfinite(np.sort(-s)[:c])]
+            L = len(items)
+            if L <= 1:
+                continue
+            total = 0.0
+            for pos in range(L - 1):
+                row = M[items[pos], items].astype(np.float64).copy()
+                row[pos] = 0.0
+                total += row.sum()
+            expected[c] += total / (L * (L - 1))
+    for c in cutoffs:
+        assert res[c]["DIVERSITY_SIMILARITY"] == pytest.approx(
+            expected[c] / len(users), rel=1e-5
+        )

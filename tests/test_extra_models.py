@@ -92,3 +92,20 @@ def test_cold_user_fallbacks(urm_pair):
     model2.set_URM_train(train, estimate_model_for_cold_users="mean_item_factors")
     scores2 = model2._compute_item_score(np.array([0, 1]))
     assert np.isfinite(scores2).all()
+
+
+def test_ease_r_topk_device_prune_matches_host(urm_pair):
+    """The fused device top-K path equals pruning the dense weights with
+    similarity_matrix_topk on host."""
+    from ganmf_tpu.models.base import similarity_matrix_topk
+    from ganmf_tpu.models.extras import _ease_r_weights
+
+    train, _ = urm_pair
+    model = EASE_R_Recommender(train)
+    model.fit(l2_norm=10.0, topK=5)
+
+    B = np.array(_ease_r_weights(model.device_urm().dense, 10.0))
+    np.fill_diagonal(B, 0.0)
+    want = sps.csr_matrix(similarity_matrix_topk(B, k=5))
+    got = model.W_sparse
+    assert (got != want).nnz == 0 or np.allclose(got.toarray(), want.toarray(), atol=1e-5)

@@ -1,5 +1,6 @@
 """Smoke + behavior tests for every recommender on small synthetic data."""
 
+import jax
 import numpy as np
 import pytest
 import scipy.sparse as sps
@@ -196,3 +197,29 @@ def test_save_load_roundtrip(tmp_path, urm_pair):
     a = model._compute_item_score(np.arange(4))
     b = fresh._compute_item_score(np.arange(4))
     assert np.allclose(a, b)
+
+
+def test_ganmf_streamed_urm_matches_dense(urm_pair):
+    """urm_storage='csr' (padded-CSR in HBM, per-batch scatter densify)
+    reproduces the dense-URM training run and evaluation exactly."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import GANMF
+
+    train, test = urm_pair
+    kwargs = dict(num_factors=4, emb_dim=8, epochs=3, batch_size=16)
+
+    dense = GANMF(train, seed=7)
+    dense.fit(**kwargs)
+    streamed = GANMF(train, seed=7)
+    streamed.fit(urm_storage="csr", **kwargs)
+
+    for got, want in zip(
+        jax.tree_util.tree_leaves(streamed.params), jax.tree_util.tree_leaves(dense.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+
+    ev = EvaluatorHoldout(test, [5])
+    res_d, _ = ev.evaluateRecommender(dense)
+    res_s, _ = ev.evaluateRecommender(streamed)
+    assert res_s[5]["MAP"] == pytest.approx(res_d[5]["MAP"], abs=1e-9)
+    assert res_s[5]["NDCG"] == pytest.approx(res_d[5]["NDCG"], abs=1e-9)
