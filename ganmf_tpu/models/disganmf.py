@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ganmf_tpu.data.device import PaddedCSR, padded_rows_dense
 from ganmf_tpu.models.gan_base import (
     AdversarialRecommender,
     make_batches,
@@ -125,12 +126,17 @@ def disganmf_epoch(
     lazy_user_adam: bool = True,
 ):
     act = ACTIVATIONS[d_hidden_act]
+    n_cols = params.item_emb.shape[0]
 
     def get_batch(step):
         b = step % n_batches
         uids = jax.lax.dynamic_slice_in_dim(perm, b * batch_size, batch_size)
         w = jax.lax.dynamic_slice_in_dim(weights, b * batch_size, batch_size)
-        return uids, jnp.take(urm, uids, axis=0), w
+        if isinstance(urm, PaddedCSR):  # streamed: densify the batch on device
+            real = padded_rows_dense(urm, uids, n_cols)
+        else:
+            real = jnp.take(urm, uids, axis=0)
+        return uids, real, w
 
     def losses(p, uids, real, w):
         fake = jnp.dot(jnp.take(p.user_emb, uids, axis=0), p.item_emb.T)
@@ -216,6 +222,7 @@ class DisGANMF(AdversarialRecommender):
         validation_set=None,
         lazy_user_adam=None,
         mesh_plan=None,
+        urm_storage: str = "dense",
     ):
         # DisGANMF's discriminator conditions on the raw user-id value
         # (DisGANMF.py:110-111), which makes training dynamics seed-fragile
@@ -230,13 +237,25 @@ class DisGANMF(AdversarialRecommender):
             epochs=epochs, batch_size=batch_size, d_lr=d_lr, g_lr=g_lr, d_steps=d_steps,
             g_steps=g_steps, d_reg=d_reg, g_reg=g_reg, recon_coefficient=recon_coefficient,
         )
-        urm = self._train_dense()
-        n_rows, n_cols = urm.shape
+        self._stream_seen = urm_storage == "csr"
+        if urm_storage == "csr":  # streamed padded-CSR storage (see GANMF.fit)
+            from ganmf_tpu.data.device import padded_csr_from_sparse
+
+            train_csr = self._train_matrix()
+            n_rows, n_cols = train_csr.shape
+            urm = padded_csr_from_sparse(train_csr)
+        elif urm_storage == "dense":
+            urm = self._train_dense()
+            n_rows, n_cols = urm.shape
+        else:
+            raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
 
         self.params = _init_params(
             jax.random.PRNGKey(self.seed), n_rows, n_cols, int(num_factors), int(d_layers), int(d_nodes)
         )
         if mesh_plan is not None:
+            if urm_storage == "csr":
+                raise NotImplementedError("urm_storage='csr' is single-chip")
             from ganmf_tpu.parallel.distributed import shard_disganmf_params
 
             self.params = shard_disganmf_params(self.params, mesh_plan)

@@ -112,9 +112,9 @@ class EASE_R_Recommender(ItemSimilarityRecommender):
             )
             self.W_sparse = check_matrix(W, "csr")
         else:
-            B = np.array(_ease_r_weights(A, float(l2_norm)))  # writable copy
-            np.fill_diagonal(B, 0.0)
-            self.W_sparse = check_matrix(sps.csr_matrix(B), "csr")
+            # device-authoritative dense W: scoring runs from HBM directly;
+            # the host CSR materializes only if an artifact save asks for it
+            self._adopt_device_w(_ease_r_weights(A, float(l2_norm)))
 
 
 class PredefinedListRecommender(Recommender):

@@ -125,6 +125,32 @@ def _bpr_epoch(
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("k", "symmetric"))
+def _prune_topk_device(W: jnp.ndarray, k: int, symmetric: bool):
+    """The reference's double top-K prune (row-wise in get_S, column-wise in
+    the wrapper) computed on device. Exact zeros are excluded with -inf
+    sentinels so negative weights survive (Recommender_utils.py:98-104).
+    Returns the pruned dense matrix (for device scoring) plus per-column
+    [I, k] candidates so the host CSR costs an [I, k] transfer instead of
+    pulling the full [I, I] matrix (~1.2 GB at LastFM scale)."""
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    n = W.shape[0]
+    S = W + W.T if symmetric else W
+    S = jnp.where(jnp.eye(n, dtype=bool), 0.0, S)
+    k = min(k, n)
+    rows = jnp.arange(n)
+    sent = jnp.where(S != 0, S, -jnp.inf)
+    v, ix = tiled_topk(sent, k)  # row-wise
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    S1 = jnp.zeros_like(S).at[rows[:, None], ix].set(v)
+    sent1 = jnp.where(S1 != 0, S1, -jnp.inf)
+    cv, cix = tiled_topk(sent1.T, k)  # column-wise
+    cv = jnp.where(jnp.isfinite(cv), cv, 0.0)
+    S2 = jnp.zeros_like(S).at[cix, rows[:, None]].set(cv)
+    return S2, cv, cix
+
+
 class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
     RECOMMENDER_NAME = "SLIM_BPR_Recommender"
 
@@ -189,8 +215,10 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         self._n_chunks = max(1, int(np.ceil(self.n_users / self._chunk)))
 
         self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
-        self.W_sparse = self._get_w_sparse(self._S_best)
-        self._invalidate_device_cache()
+        S2, cv, cix = _prune_topk_device(jnp.asarray(self._S_best), int(self.topK), bool(self.symmetric))
+        self.W_sparse = self._w_sparse_from_topk(cv, cix)
+        self._durm = None
+        self._device_w = S2  # same pruned matrix, already resident for scoring
 
     # -- epoch hooks ---------------------------------------------------------
     def _run_epoch(self, num_epoch):
@@ -255,12 +283,26 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         self._state = coerce_pytree(self._state, state["state"])
         self._key = jnp.asarray(state["key"])
 
+    def _w_sparse_from_topk(self, cv, cix) -> sps.csr_matrix:
+        """Host CSR from the device prune's per-column [I, k] candidates."""
+        n = self.n_items
+        vals = np.asarray(cv, dtype=np.float32)
+        idx = np.asarray(cix)
+        keep = vals != 0.0
+        counts = keep.sum(axis=1)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        W = sps.csc_matrix((vals[keep], idx[keep], indptr), shape=(n, n), dtype=np.float32)
+        return check_matrix(W, "csr")
+
     def _prepare_model_for_validation(self):
-        self.W_sparse = self._get_w_sparse(np.asarray(self._state.W))
-        self._invalidate_device_cache()
+        # validation scores straight from the device-pruned dense W — no
+        # [I, I] host transfer per validation round
+        S2, _, _ = _prune_topk_device(self._state.W, int(self.topK), bool(self.symmetric))
+        self._adopt_device_w(S2)
 
     def _update_best_model(self):
-        self._S_best = np.asarray(self._state.W)
+        self._S_best = self._state.W  # device-resident snapshot
 
 
 # reference-compatible alias (SLIM_BPR/Cython/SLIM_BPR_Cython.py:50)

@@ -304,3 +304,26 @@ def test_baseline_crash_resume(tmp_path, urm_pair, model_name):
     m2.fit(**kwargs)
     for got, want in zip(leaves(m2), leaves(full)):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_slim_device_prune_matches_host():
+    """_prune_topk_device == the host _get_w_sparse double prune (same
+    nonzero-filtered, negative-keeping selection semantics)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+    from ganmf_tpu.models.slim_bpr import SLIM_BPR, _prune_topk_device
+
+    rng = np.random.RandomState(5)
+    n = 40
+    W = rng.randn(n, n).astype(np.float32)
+    W[rng.rand(n, n) < 0.6] = 0.0  # sparse-ish with negatives
+
+    urm = sps.csr_matrix((rng.rand(12, n) < 0.3).astype(np.float32))
+    m = SLIM_BPR(urm)
+    m.topK, m.symmetric = 7, True
+
+    want = m._get_w_sparse(W.copy())
+    S2, cv, cix = _prune_topk_device(jnp.asarray(W), 7, True)
+    got = m._w_sparse_from_topk(cv, cix)
+    np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(S2), want.toarray(), rtol=1e-6, atol=1e-7)

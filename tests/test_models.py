@@ -1,6 +1,7 @@
 """Smoke + behavior tests for every recommender on small synthetic data."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sps
@@ -199,18 +200,22 @@ def test_save_load_roundtrip(tmp_path, urm_pair):
     assert np.allclose(a, b)
 
 
-def test_ganmf_streamed_urm_matches_dense(urm_pair):
+@pytest.mark.parametrize("model_name", ["GANMF", "DisGANMF"])
+def test_ganmf_streamed_urm_matches_dense(urm_pair, model_name):
     """urm_storage='csr' (padded-CSR in HBM, per-batch scatter densify)
     reproduces the dense-URM training run and evaluation exactly."""
     from ganmf_tpu.eval import EvaluatorHoldout
-    from ganmf_tpu.models import GANMF
+    from ganmf_tpu.models import GANMF, DisGANMF
 
     train, test = urm_pair
-    kwargs = dict(num_factors=4, emb_dim=8, epochs=3, batch_size=16)
+    if model_name == "GANMF":
+        cls, kwargs = GANMF, dict(num_factors=4, emb_dim=8, epochs=3, batch_size=16)
+    else:
+        cls, kwargs = DisGANMF, dict(num_factors=4, d_nodes=8, epochs=3, batch_size=16)
 
-    dense = GANMF(train, seed=7)
+    dense = cls(train, seed=7)
     dense.fit(**kwargs)
-    streamed = GANMF(train, seed=7)
+    streamed = cls(train, seed=7)
     streamed.fit(urm_storage="csr", **kwargs)
 
     for got, want in zip(
@@ -223,3 +228,36 @@ def test_ganmf_streamed_urm_matches_dense(urm_pair):
     res_s, _ = ev.evaluateRecommender(streamed)
     assert res_s[5]["MAP"] == pytest.approx(res_d[5]["MAP"], abs=1e-9)
     assert res_s[5]["NDCG"] == pytest.approx(res_d[5]["NDCG"], abs=1e-9)
+
+
+def test_caae_cdf_sampler_distribution():
+    """The inverse-CDF binary-search sampler draws from the exact softmax
+    distribution (reference cython_utils.pyx:74-104 semantics)."""
+    from ganmf_tpu.models.caae import _cdf_sample
+
+    n_items = 7
+    logits = jnp.asarray(np.random.RandomState(0).randn(3, n_items).astype(np.float32))
+    p = np.asarray(jax.nn.softmax(logits, axis=1))
+    cdf = jnp.cumsum(jnp.asarray(p), axis=1)
+    for row, seed in [(0, 1), (2, 2)]:
+        rows = jnp.full(100000, row, jnp.int32)
+        s = np.asarray(_cdf_sample(cdf, rows, jax.random.PRNGKey(seed), n_items))
+        emp = np.bincount(s, minlength=n_items) / len(s)
+        np.testing.assert_allclose(emp, p[row], atol=0.01)
+
+
+def test_caae_bucketed_sampler_distribution():
+    """The two-level bucketed inverse-CDF sampler draws from the exact
+    per-row categorical distribution, including across bucket boundaries."""
+    from ganmf_tpu.models.caae import _bucketed_cdf_sample, _bucketed_cdf_tables
+
+    n_cols, nb = 11, 4  # padded final bucket exercises the zero-prob tail
+    logits = jnp.asarray(np.random.RandomState(1).randn(2, n_cols).astype(np.float32))
+    p = np.asarray(jax.nn.softmax(logits, axis=1))
+    bcdf, wcdf = _bucketed_cdf_tables(jnp.asarray(p), nb)
+    for row, seed in [(0, 3), (1, 4)]:
+        rows = jnp.full(200000, row, jnp.int32)
+        s = np.asarray(_bucketed_cdf_sample(bcdf, wcdf, rows, jax.random.PRNGKey(seed), nb, n_cols))
+        assert s.max() < n_cols
+        emp = np.bincount(s, minlength=n_cols) / len(s)
+        np.testing.assert_allclose(emp, p[row], atol=0.01)
