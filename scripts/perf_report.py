@@ -160,17 +160,33 @@ def _write(rows):
     lines = [
         "# PERF — measured on one TPU v5e chip",
         "",
-        "Steady-state timings (compile excluded). Reference baselines from the",
-        "corrected test_results timing strings (BASELINE.md).",
+        "Steady-state timings, best-of-n with compile excluded (the",
+        "tunnel-attached chip shows large run-to-run variance, so the minimum",
+        "is the honest program cost). Reference baselines from the corrected",
+        "test_results timing strings (BASELINE.md).",
         "",
         "| Benchmark | time | note |",
         "|---|---|---|",
     ]
     for name, (seconds, note) in rows.items():
         lines.append(f"| {name} | {seconds*1e3:.1f} ms | {note} |")
+    lines += [
+        "",
+        "Notes:",
+        "- Value readback is the only honest device sync on this backend",
+        "  (block_until_ready returns early); all timings end with one.",
+        "- Measurements live in PERF.json; `python scripts/perf_report.py",
+        "  [1M|LastFM]` re-measures one dataset and merges, `--render`",
+        "  regenerates this file from PERF.json.",
+        "- bench.py reports the headline metric (GANMF ML-1M epoch,",
+        "  sync-per-epoch protocol) vs the reference's ~3.64 s/epoch.",
+    ]
     with open("PERF.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
-    main(tuple(sys.argv[1:]) or ("1M", "LastFM"))
+    if sys.argv[1:] == ["--render"]:
+        _write({k: tuple(v) for k, v in json.load(open("PERF.json")).items()})
+    else:
+        main(tuple(sys.argv[1:]) or ("1M", "LastFM"))

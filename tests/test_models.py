@@ -261,3 +261,38 @@ def test_caae_bucketed_sampler_distribution():
         assert s.max() < n_cols
         emp = np.bincount(s, minlength=n_cols) / len(s)
         np.testing.assert_allclose(emp, p[row], atol=0.01)
+
+
+def test_p3alpha_device_prune_matches_host_path(urm_pair):
+    """The fused device walk+double-prune equals the old host sequence
+    (row top-K -> optional L1 row normalize -> column similarityMatrixTopK)."""
+    from sklearn.preprocessing import normalize as sk_normalize
+
+    from ganmf_tpu.models.base import similarity_matrix_topk
+    from ganmf_tpu.models.p3alpha import P3alphaRecommender
+
+    train, _ = urm_pair
+    # random float ratings: a binary URM yields exactly-tied walk weights,
+    # where argpartition and tiled selection legitimately pick different
+    # (equal-valued) winners
+    train = train.copy()
+    train.data = (0.5 + np.random.RandomState(11).rand(train.nnz)).astype(np.float32)
+    for norm in (False, True):
+        model = P3alphaRecommender(train)
+        model.fit(topK=5, alpha=0.8, normalize_similarity=norm)
+
+        # host oracle
+        Pui = sk_normalize(train, norm="l1", axis=1).power(0.8)
+        Xb = train.transpose(copy=True)
+        Xb.data = np.ones(Xb.data.size, np.float32)
+        Piu = sk_normalize(Xb, norm="l1", axis=1).power(0.8)
+        W = np.asarray((Piu @ Pui).todense(), dtype=np.float32)
+        np.fill_diagonal(W, 0.0)
+        # row-wise top-5 over nonzeros
+        key = np.where(W != 0, W, -np.inf)
+        drop = np.argsort(-key, axis=1)[:, 5:]
+        np.put_along_axis(W, drop, 0.0, axis=1)
+        if norm:
+            W = np.asarray(sk_normalize(sps.csr_matrix(W), norm="l1", axis=1).todense())
+        want = np.asarray(similarity_matrix_topk(sps.csr_matrix(W), k=5).todense())
+        np.testing.assert_allclose(model.W_sparse.toarray(), want, rtol=1e-5, atol=1e-6)
