@@ -39,6 +39,33 @@ def check_matrix(X, format: str = "csc", dtype=np.float32):
     return X.astype(dtype)
 
 
+# padded-host-block size (elements) above which the sparse column prune
+# runs on device instead (a single near-dense column makes the host pad
+# quadratic — 124 s measured on a LastFM-scale walk matrix)
+_DEVICE_PRUNE_THRESHOLD = 1 << 26
+
+
+def _device_column_topk(W: sps.spmatrix, k: int) -> sps.csc_matrix:
+    """Column-wise top-k over stored nonzeros (negatives kept) computed on
+    device; only the [n, k] winners transfer to host."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.data.device import dense_from_sparse
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    n = W.shape[1]
+    A = dense_from_sparse(sps.csr_matrix(W))
+    sent = jnp.where(A == 0, -jnp.inf, A)
+    vals, idx = tiled_topk(sent.T, min(k, n))  # per column j: top rows
+    vals = np.asarray(vals, np.float32)
+    idx = np.asarray(idx)
+    keep = np.isfinite(vals)
+    counts = keep.sum(axis=1).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return sps.csc_matrix((vals[keep], idx[keep], indptr), shape=(n, n), dtype=np.float32)
+
+
 def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
     """Column-wise top-K pruning of a square similarity matrix
     (reference Base/Recommender_utils.py:48-115). Accepts dense or sparse.
@@ -64,6 +91,11 @@ def similarity_matrix_topk(item_weights, k: int = 100) -> sps.csc_matrix:
         max_nnz = int(nnz_per_col.max()) if n else 0
         if max_nnz == 0:
             return sps.csc_matrix((n, n), dtype=np.float32)
+        if n * max_nnz > _DEVICE_PRUNE_THRESHOLD:
+            # a near-dense column would make the padded host block huge
+            # (P3alpha-style walk matrices: one popular column ~ [n, n]);
+            # run the selection on device and transfer only [n, k]
+            return _device_column_topk(W, k)
         col_of = np.repeat(np.arange(n), nnz_per_col)
         slot = np.arange(W.nnz, dtype=np.int64) - np.repeat(W.indptr[:-1], nnz_per_col)
         # padding (and explicit stored zeros) get a -inf sentinel so the

@@ -121,34 +121,11 @@ def render_md(results):
                 f"| {key} | {m['ours']:.7f} | {m['ref']:.7f} | {m['delta']:+.5f} "
                 f"| {n['ours']:.7f} | {n['ref']:.7f} | {n['delta']:+.5f} | {e['wall_s']} |"
             )
-    lines += [
-        "",
-        "## Notes",
-        "",
-        "- CFGAN_item_LastFM: measured seed spread of this config in this",
-        "  framework is MAP 0.069-0.099 over 4 seeds; the published 0.102 sits",
-        "  at the favorable edge of that distribution (the config trains a",
-        "  4-node discriminator with no masking signal — zr_ratio=0). Same",
-        "  story for DisGANMF_user_LastFM (ours 0.015-0.028, published 0.034;",
-        "  both far below TopPop = 0.039). See TUNED.md for this framework's",
-        "  own tuned results on the lagging configs.",
-        "- Deterministic algorithms (TopPop, PureSVD, IALS, ItemKNN x6 similarities,",
-        "  P3alpha, EASE-class) agree to ~1e-4; small residuals are top-K tie",
-        "  ordering and f32-vs-f64 accumulation.",
-        "- GAN models retrain from scratch with fresh RNG streams; deltas within",
-        "  a few 1e-3 are run-to-run noise. GANMF (the paper's model) lands within",
-        "  +-2e-3 of every published number and above it on most configs.",
-        "- DisGANMF conditions its discriminator on the raw user-id value",
-        "  (reference DisGANMF.py:110-111); measured seed spread at the committed",
-        "  params is +-0.015 MAP, which bounds the achievable single-seed parity.",
-        "- SLIM_BPR hetrec2011: the committed best_params.pkl does not reproduce",
-        "  the committed test_results.txt in the reference's own algorithm — a",
-        "  sequential float64 re-implementation of the exact Cython epoch loop",
-        "  (per-sample updates, shared triangular cells, AdaGrad) reaches MAP@20",
-        "  0.2829 vs the published 0.3284, matching this framework (0.282). The",
-        "  published row's RMSE (2.543) fingerprints a different hyperparameter",
-        "  trial than the committed best_params (validation RMSE 0.738).",
-    ]
+    # the detailed notes (incl. the ItemKNN NDCG archaeology evidence) are
+    # maintained by hand in PARITY_NOTES.md and appended verbatim
+    lines.append("")
+    if os.path.isfile("PARITY_NOTES.md"):
+        lines.append(open("PARITY_NOTES.md").read().rstrip())
     with open("PARITY.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

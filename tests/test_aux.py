@@ -327,3 +327,20 @@ def test_slim_device_prune_matches_host():
     got = m._w_sparse_from_topk(cv, cix)
     np.testing.assert_allclose(got.toarray(), want.toarray(), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(S2), want.toarray(), rtol=1e-6, atol=1e-7)
+
+
+def test_similarity_matrix_topk_device_branch_matches_host():
+    """_device_column_topk (the large-sparse device branch) equals the
+    host padded-argpartition path on untied data."""
+    import scipy.sparse as sps
+    from ganmf_tpu.models import base as base_mod
+
+    rng = np.random.RandomState(9)
+    n = 50
+    W = rng.randn(n, n).astype(np.float32)
+    W[rng.rand(n, n) < 0.5] = 0.0
+    Wsp = sps.csc_matrix(W)
+
+    want = base_mod.similarity_matrix_topk(Wsp.copy(), k=7).toarray()
+    got = base_mod._device_column_topk(Wsp, 7).toarray()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
