@@ -311,10 +311,12 @@ def compute_W_sparse_from_item_latent_factors(ITEM_factors: np.ndarray, topK: in
     """Item-item dot-product similarity from latent factors, top-K per
     column (reference Base/BaseMatrixFactorizationRecommender.py:17-70);
     the blockwise host matmul becomes one device matmul + lax.top_k."""
+    from ganmf_tpu.ops.topk import tiled_topk
+
     V = jnp.asarray(np.asarray(ITEM_factors, dtype=np.float32))
     W = jnp.dot(V, V.T, precision=jax.lax.Precision.HIGHEST)
     k = min(topK, V.shape[0])
-    vals, idx = jax.lax.top_k(W.T, k)  # per column (rows of W^T)
+    vals, idx = tiled_topk(W.T, k)  # per column (rows of W^T)
     vals, idx = np.asarray(vals, np.float32), np.asarray(idx)
     keep = vals != 0.0
     counts = keep.sum(axis=1)
@@ -524,17 +526,42 @@ class ItemSimilarityRecommender(Recommender):
 
 
 class UserSimilarityRecommender(Recommender):
-    """Scores = W[u] @ URM (reference Base/BaseSimilarityMatrixRecommender.py:97-116)."""
+    """Scores = W[u] @ URM (reference Base/BaseSimilarityMatrixRecommender.py:97-116).
+
+    The user-user W is kept dense in HBM when it fits so block scoring is a
+    single MXU matmul over the resident URM; otherwise blocks fall back to
+    host sparse products."""
 
     RECOMMENDER_NAME = "BaseUserSimilarityMatrixRecommender"
+    _DENSE_W_BYTE_LIMIT = 4 << 30
 
     def __init__(self, URM_train):
         super().__init__(URM_train)
         self.W_sparse: Optional[sps.csr_matrix] = None
+        self._device_w = None
+
+    def _w_device(self):
+        if self._device_w is None:
+            n = self.W_sparse.shape[0]
+            if 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+                from ganmf_tpu.data.device import dense_from_sparse
+
+                self._device_w = dense_from_sparse(sps.csr_matrix(self.W_sparse))
+            else:
+                self._device_w = False
+        return self._device_w
+
+    def _invalidate_device_cache(self):
+        super()._invalidate_device_cache()
+        self._device_w = None
 
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
-        weights = self.W_sparse[np.asarray(user_ids)]
-        return jnp.asarray(weights.dot(self.URM_train).toarray().astype(np.float32))
+        W = self._w_device()
+        if W is False:
+            weights = self.W_sparse[np.asarray(user_ids)]
+            return jnp.asarray(weights.dot(self.URM_train).toarray().astype(np.float32))
+        rows = jnp.take(W, user_ids, axis=0)  # [B, U]
+        return jnp.dot(rows, self.device_urm().dense, precision=jax.lax.Precision.HIGHEST)
 
     def _save_dict(self):
         return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}

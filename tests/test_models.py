@@ -296,3 +296,15 @@ def test_p3alpha_device_prune_matches_host_path(urm_pair):
             W = np.asarray(sk_normalize(sps.csr_matrix(W), norm="l1", axis=1).todense())
         want = np.asarray(similarity_matrix_topk(sps.csr_matrix(W), k=5).todense())
         np.testing.assert_allclose(model.W_sparse.toarray(), want, rtol=1e-5, atol=1e-6)
+
+
+def test_userknn_device_scoring_matches_host(urm_pair):
+    """UserSimilarityRecommender's dense-HBM scoring equals the host sparse
+    W[u] @ URM product."""
+    train, _ = urm_pair
+    uk = UserKNNCFRecommender(train)
+    uk.fit(topK=5, shrink=0)
+    uids = jnp.asarray([0, 3, 7], jnp.int32)
+    got = np.asarray(uk.score_device(uids))
+    want = uk.W_sparse[np.asarray(uids)].dot(train).toarray().astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
