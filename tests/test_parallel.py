@@ -222,3 +222,25 @@ def test_trainer_mesh_plan_matches_single(urm_pair, model_name):
     sharded = build_and_fit(plan)
     single = build_and_fit(None)
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-6)
+
+
+def test_sharded_evaluator_with_diversity_matches_single(urm_pair):
+    """The device diversity metric composes with a mesh plan (GSPMD handles
+    the sharded gather/top-k) and equals the single-device result."""
+    import scipy.sparse as sps
+
+    from ganmf_tpu.eval import EvaluatorHoldout
+
+    train, test = urm_pair
+    rng = np.random.RandomState(4)
+    M = sps.csr_matrix(rng.rand(train.shape[1], train.shape[1]).astype(np.float32))
+    model = _RandomScorer(train)
+    base, _ = EvaluatorHoldout(test, [5], diversity_object=M).evaluateRecommender(model)
+
+    plan = make_mesh(n_data=4, n_model=2)
+    sharded, _ = EvaluatorHoldout(
+        test, [5], diversity_object=M, mesh_plan=plan
+    ).evaluateRecommender(model)
+    assert sharded[5]["DIVERSITY_SIMILARITY"] == pytest.approx(
+        base[5]["DIVERSITY_SIMILARITY"], rel=1e-5
+    )
