@@ -9,8 +9,11 @@ Runs on whatever jax backend is available (TPU when present).
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
