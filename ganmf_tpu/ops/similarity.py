@@ -22,6 +22,99 @@ import scipy.sparse as sps
 SIMILARITIES = ("cosine", "adjusted", "asymmetric", "pearson", "jaccard", "tanimoto", "dice", "tversky", "euclidean")
 
 
+def _w_block(
+    G: jnp.ndarray,  # [n_cand, n_targ_block] Gram block
+    ss2_cand: jnp.ndarray,  # [n_cand] sum of squares per candidate column
+    ss2_targ: jnp.ndarray,  # [n_targ_block] per target column
+    targ_off,  # global index of the block's first target column
+    n_rows: int,
+    row_weights: jnp.ndarray,
+    mode: str,
+    shrink: float,
+    normalize: bool,
+    asymmetric_alpha: float,
+    tversky_alpha: float,
+    tversky_beta: float,
+    normalize_avg_row: bool,
+    distance_mode: str,
+    use_row_weights: bool,
+):
+    """Similarity block W[i, j]: candidate item i (full axis) vs target
+    column j of this block. The block form is what the sharded build maps
+    over target-column shards; the single-device kernel is the one-block
+    special case."""
+    n_cand = G.shape[0]
+    cand_idx = jax.lax.broadcasted_iota(jnp.int32, G.shape, 0)
+    targ_idx = jax.lax.broadcasted_iota(jnp.int32, G.shape, 1) + targ_off
+    eye = cand_idx == targ_idx
+
+    if mode == "euclidean":
+        # (a-b)^2 = a^2 + b^2 - 2ab; reference Compute_Similarity_Euclidean.py:170-207
+        dist = ss2_targ[None, :] + ss2_cand[:, None] - 2.0 * G
+        dist = jnp.where(eye, 0.0, dist)
+        if use_row_weights:
+            # reference scales item_distance[i] (the candidate axis) by
+            # row_weights[i] (Compute_Similarity_Euclidean.py:181); it only
+            # type-checks there when n_rows == n_cols. Candidate axis is
+            # dim 0 in this kernel's [candidate, target] orientation.
+            dist = dist * row_weights[:n_cand, None]
+        if normalize:
+            dist = dist / (jnp.sqrt(ss2_cand)[:, None] * jnp.sqrt(ss2_targ)[None, :])
+        if normalize_avg_row:
+            dist = dist / n_rows
+        dist = jnp.sqrt(jnp.maximum(dist, 0.0))
+        if distance_mode == "exp":
+            W = 1.0 / (jnp.exp(dist) + shrink + 1e-9)
+        elif distance_mode == "log":
+            W = 1.0 / (jnp.log(dist + 1.0) + shrink + 1e-9)
+        else:
+            W = 1.0 / (dist + shrink + 1e-9)
+        # items with identical interaction sets have distance exactly 0, so
+        # euclidean similarity is full of large exact ties; lax.top_k's
+        # lowest-index tie-break would concentrate every tied neighborhood
+        # on the same few columns (the reference's argpartition spreads ties
+        # arbitrarily). A hashed relative perturbation (~1e-6) spreads ties
+        # deterministically without disturbing non-tied order. Hash inputs
+        # are global indices, so sharded and single-device builds agree.
+        h = (cand_idx.astype(jnp.uint32) * jnp.uint32(2654435761)
+             + targ_idx.astype(jnp.uint32) * jnp.uint32(97777)) & jnp.uint32(0xFFFFF)
+        W = W * (1.0 + 1e-6 * (h.astype(jnp.float32) / float(1 << 20)))
+        W = jnp.where(eye, 0.0, W)
+    else:
+        W = jnp.where(eye, 0.0, G)
+        if normalize:
+            if mode == "asymmetric":
+                # alpha weights the *target column* item j, (1 - alpha) the
+                # candidate rows i (Compute_Similarity_Python.py:248-312)
+                den = jnp.power(jnp.sqrt(ss2_cand), 2.0 * (1.0 - asymmetric_alpha))[:, None] * jnp.power(
+                    jnp.sqrt(ss2_targ), 2.0 * asymmetric_alpha
+                )[None, :] + shrink + 1e-6
+            else:
+                den = jnp.sqrt(ss2_cand)[:, None] * jnp.sqrt(ss2_targ)[None, :] + shrink + 1e-6
+            W = W / den
+        elif mode in ("jaccard", "tanimoto"):
+            W = W / (ss2_cand[:, None] + ss2_targ[None, :] - W + shrink + 1e-6)
+        elif mode == "dice":
+            W = W / (ss2_cand[:, None] + ss2_targ[None, :] + shrink + 1e-6)
+        elif mode == "tversky":
+            # tversky_alpha weights the target column j, tversky_beta the
+            # candidate rows i (Compute_Similarity_Python.py:328-332)
+            W = W / (
+                W
+                + (ss2_targ[None, :] - W) * tversky_alpha
+                + (ss2_cand[:, None] - W) * tversky_beta
+                + shrink
+                + 1e-6
+            )
+        elif shrink != 0:
+            W = W / shrink
+
+    # cold-item pairs yield 0/0 = NaN under the normalizations; the
+    # reference leaves them in W but its sparse scoring never touches them
+    # — dense scoring would propagate them, so zero them here
+    return jnp.where(jnp.isnan(W), 0.0, W)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "topk", "normalize", "normalize_avg_row", "distance_mode", "use_row_weights"),
@@ -49,85 +142,90 @@ def _similarity_topk(
     else:
         G = jnp.dot(A.T, A, precision=hi)  # [n_cols, n_cols]
 
-    eye = jnp.eye(n_cols, dtype=bool)
-
-    if mode == "euclidean":
-        # (a-b)^2 = a^2 + b^2 - 2ab; reference Compute_Similarity_Euclidean.py:170-207
-        dist = ss2[None, :] + ss2[:, None] - 2.0 * G
-        dist = jnp.where(eye, 0.0, dist)
-        if use_row_weights:
-            # reference scales item_distance[i] (the candidate axis) by
-            # row_weights[i] (Compute_Similarity_Euclidean.py:181); it only
-            # type-checks there when n_rows == n_cols. Candidate axis is
-            # dim 0 in this kernel's [candidate, target] orientation.
-            dist = dist * row_weights[:, None]
-        if normalize:
-            ss = jnp.sqrt(ss2)
-            dist = dist / (ss[:, None] * ss[None, :])
-        if normalize_avg_row:
-            dist = dist / n_rows
-        dist = jnp.sqrt(jnp.maximum(dist, 0.0))
-        if distance_mode == "exp":
-            W = 1.0 / (jnp.exp(dist) + shrink + 1e-9)
-        elif distance_mode == "log":
-            W = 1.0 / (jnp.log(dist + 1.0) + shrink + 1e-9)
-        else:
-            W = 1.0 / (dist + shrink + 1e-9)
-        # items with identical interaction sets have distance exactly 0, so
-        # euclidean similarity is full of large exact ties; lax.top_k's
-        # lowest-index tie-break would concentrate every tied neighborhood
-        # on the same few columns (the reference's argpartition spreads ties
-        # arbitrarily). A hashed relative perturbation (~1e-6) spreads ties
-        # deterministically without disturbing non-tied order.
-        rows_h = jax.lax.broadcasted_iota(jnp.uint32, W.shape, 0)
-        cols_h = jax.lax.broadcasted_iota(jnp.uint32, W.shape, 1)
-        h = (rows_h * jnp.uint32(2654435761) + cols_h * jnp.uint32(97777)) & jnp.uint32(0xFFFFF)
-        W = W * (1.0 + 1e-6 * (h.astype(jnp.float32) / float(1 << 20)))
-        W = jnp.where(eye, 0.0, W)
-    else:
-        W = jnp.where(eye, 0.0, G)
-        if normalize:
-            if mode == "asymmetric":
-                # alpha weights the *target column* item j, (1 - alpha) the
-                # candidate rows i (Compute_Similarity_Python.py:248-312)
-                ss = jnp.sqrt(ss2)
-                den = jnp.power(ss, 2.0 * (1.0 - asymmetric_alpha))[:, None] * jnp.power(
-                    ss, 2.0 * asymmetric_alpha
-                )[None, :] + shrink + 1e-6
-            else:
-                ss = jnp.sqrt(ss2)
-                den = ss[:, None] * ss[None, :] + shrink + 1e-6
-            W = W / den
-        elif mode in ("jaccard", "tanimoto"):
-            W = W / (ss2[:, None] + ss2[None, :] - W + shrink + 1e-6)
-        elif mode == "dice":
-            W = W / (ss2[:, None] + ss2[None, :] + shrink + 1e-6)
-        elif mode == "tversky":
-            # tversky_alpha weights the target column j, tversky_beta the
-            # candidate rows i (Compute_Similarity_Python.py:328-332)
-            W = W / (
-                W
-                + (ss2[None, :] - W) * tversky_alpha
-                + (ss2[:, None] - W) * tversky_beta
-                + shrink
-                + 1e-6
-            )
-        elif shrink != 0:
-            W = W / shrink
-
-    # cold-item pairs yield 0/0 = NaN under the normalizations; the
-    # reference leaves them in W but its sparse scoring never touches them
-    # — dense scoring would propagate them, so zero them here
-    W = jnp.where(jnp.isnan(W), 0.0, W)
+    W = _w_block(
+        G, ss2, ss2, 0, n_rows, row_weights, mode, shrink, normalize,
+        asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
+        distance_mode, use_row_weights,
+    )
 
     # W[i, j]: similarity of row-item i to column-item j; reference keeps the
     # top-K per *column* (note the reference normalizes with the column item
-    # in the first denominator slot; here rows carry ss[:, None] == "all
+    # in the first denominator slot; here rows carry ss2_cand == "all
     # items", columns the target item, matching its orientation).
     from ganmf_tpu.ops.topk import tiled_topk
 
     vals, idx = tiled_topk(W.T, topk)  # per column j: top rows i
     return vals, idx
+
+
+def _similarity_topk_sharded(
+    A: jnp.ndarray,
+    row_weights: jnp.ndarray,
+    plan,
+    *,
+    mode: str,
+    topk: int,
+    shrink: float,
+    normalize: bool,
+    asymmetric_alpha: float,
+    tversky_alpha: float,
+    tversky_beta: float,
+    normalize_avg_row: bool,
+    distance_mode: str,
+    use_row_weights: bool,
+):
+    """Item-column-sharded similarity build (VERDICT r2 #6): each chip of
+    the mesh's model axis computes the Gram block of *its* target columns
+    against the full candidate axis — the [I, I] intermediate never
+    materializes on one chip (per-chip footprint I * I / n_model) — and
+    ranks its columns locally, so no cross-shard top-K merge is needed.
+    Target columns are zero-padded to a multiple of the shard count; padded
+    targets are sliced off after the gather."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ganmf_tpu.parallel.mesh import MODEL_AXIS
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    hi = jax.lax.Precision.HIGHEST
+    n_rows, n_cols = A.shape
+    n_shards = plan.n_model
+    pad = (-n_cols) % n_shards
+    Ap = jnp.pad(A, ((0, 0), (0, pad))) if pad else A
+    width = (n_cols + pad) // n_shards
+
+    def local(A_full, A_blk, rw):
+        off = jax.lax.axis_index(MODEL_AXIS) * width
+        ss2_cand = jnp.sum(A_full * A_full, axis=0)
+        ss2_targ = jnp.sum(A_blk * A_blk, axis=0)
+        if use_row_weights and mode != "euclidean":
+            G = jnp.dot((rw[:, None] * A_full).T, A_blk, precision=hi)
+        else:
+            G = jnp.dot(A_full.T, A_blk, precision=hi)  # [n_cols, width]
+        W = _w_block(
+            G, ss2_cand, ss2_targ, off, n_rows, rw, mode, shrink, normalize,
+            asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
+            distance_mode, use_row_weights,
+        )
+        # padded candidate columns would rank as spurious zero-distance
+        # neighbours under the euclidean inversion; mask them out
+        if pad:
+            cand = jnp.arange(A_full.shape[1])
+            W = jnp.where((cand >= n_cols)[:, None], 0.0, W)
+        vals, idx = tiled_topk(W.T, topk)  # [width, k] per shard
+        return vals, idx
+
+    fn = jax.jit(
+        shard_map(
+            local,
+            mesh=plan.mesh,
+            in_specs=(P(None, None), P(None, MODEL_AXIS), P(None)),
+            out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
+            check_vma=False,
+        )
+    )
+    vals, idx = fn(Ap, Ap, row_weights)
+    return vals[:n_cols], idx[:n_cols]
 
 
 def compute_similarity(
@@ -142,6 +240,7 @@ def compute_similarity(
     normalize_avg_row: bool = False,
     similarity_from_distance_mode: str = "lin",
     row_weights: Optional[np.ndarray] = None,
+    mesh_plan=None,
     **_unused,
 ) -> sps.csr_matrix:
     """Column-to-column similarity with top-K pruning.
@@ -150,6 +249,10 @@ def compute_similarity(
     (Base/Similarity/Compute_Similarity.py:29-107) with every implementation
     unified on one device kernel. Returns CSR [n_cols, n_cols] where column
     j holds the top-K most similar items to j (zeros dropped).
+
+    ``mesh_plan``: shard the [I, I] build over the mesh's model axis — each
+    chip holds only its target-column slice of the Gram/similarity matrix,
+    removing the single-chip HBM ceiling on the catalog size.
     """
     if similarity not in SIMILARITIES:
         raise ValueError(f"similarity must be one of {SIMILARITIES}, got '{similarity}'")
@@ -190,9 +293,7 @@ def compute_similarity(
         np.asarray(row_weights, dtype=np.float32) if row_weights is not None else np.ones(n_rows, np.float32)
     )
 
-    vals, idx = _similarity_topk(
-        A,
-        rw,
+    kernel_kwargs = dict(
         mode=mode,
         topk=topK,
         shrink=float(shrink),
@@ -204,6 +305,10 @@ def compute_similarity(
         distance_mode=similarity_from_distance_mode,
         use_row_weights=row_weights is not None,
     )
+    if mesh_plan is not None and mesh_plan.n_model > 1:
+        vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, **kernel_kwargs)
+    else:
+        vals, idx = _similarity_topk(A, rw, **kernel_kwargs)
     vals = np.asarray(vals, dtype=np.float32)  # [n_cols, topK] per column
     idx = np.asarray(idx)
 

@@ -224,6 +224,106 @@ def test_trainer_mesh_plan_matches_single(urm_pair, model_name):
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-6)
 
 
+def test_ganmf_csr_storage_composes_with_mesh(urm_pair):
+    """urm_storage='csr' + mesh_plan (VERDICT r2 #4): the user-axis-sharded
+    padded-CSR fit equals the dense single-device fit."""
+    from ganmf_tpu.models import GANMF
+
+    train, test = urm_pair
+    plan = make_mesh(n_data=2, n_model=2)
+
+    dense = GANMF(train, mode="user", seed=11)
+    dense.fit(num_factors=4, emb_dim=8, epochs=3, batch_size=16)
+    streamed = GANMF(train, mode="user", seed=11)
+    streamed.fit(num_factors=4, emb_dim=8, epochs=3, batch_size=16,
+                 urm_storage="csr", mesh_plan=plan)
+
+    for got, want in zip(
+        jax.tree_util.tree_leaves(streamed.params), jax.tree_util.tree_leaves(dense.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-6)
+
+
+def test_ials_csr_storage_matches_dense(urm_pair):
+    """IALS urm_storage='csr' (streamed confidence blocks) == dense fit,
+    single-device and on a mesh (VERDICT r2 #4 second-trainer extension)."""
+    from ganmf_tpu.models import IALSRecommender
+
+    train, test = urm_pair
+    base = IALSRecommender(train)
+    base.fit(epochs=3, num_factors=4, confidence_scaling="log", alpha=2.0)
+
+    for plan in (None, make_mesh(n_data=2, n_model=2)):
+        m = IALSRecommender(train)
+        m.fit(epochs=3, num_factors=4, confidence_scaling="log", alpha=2.0,
+              urm_storage="csr", mesh_plan=plan)
+        np.testing.assert_allclose(
+            np.asarray(m._U_dev), np.asarray(base._U_dev), rtol=2e-4, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(m._V_dev), np.asarray(base._V_dev), rtol=2e-4, atol=2e-6
+        )
+
+
+def _assert_same_sparse(got, base):
+    """Same sparsity pattern, values equal up to blockwise-matmul float
+    jitter (the sharded Gram accumulates in a different order)."""
+    assert ((got != 0).toarray() == (base != 0).toarray()).all()
+    np.testing.assert_allclose(got.toarray(), base.toarray(), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("similarity", ["cosine", "tversky", "euclidean"])
+def test_sharded_similarity_build_matches_single(urm_pair, similarity):
+    """compute_similarity(mesh_plan=...) shards the [I, I] build over the
+    model axis and reproduces the single-device CSR (VERDICT r2 #6)."""
+    from ganmf_tpu.ops.similarity import compute_similarity
+
+    train, _ = urm_pair
+    base = compute_similarity(train, similarity=similarity, topK=10, shrink=1.0)
+    for n_model in (8, 5):  # both divide the 80-item catalog evenly
+        plan = make_mesh(n_data=1, n_model=n_model)
+        got = compute_similarity(
+            train, similarity=similarity, topK=10, shrink=1.0, mesh_plan=plan
+        )
+        _assert_same_sparse(got, base)
+
+
+def test_sharded_similarity_build_with_padding(urm_pair):
+    """Shard count that does not divide the catalog exercises the
+    zero-padded target columns."""
+    from ganmf_tpu.ops.similarity import compute_similarity
+
+    train, _ = urm_pair
+    base = compute_similarity(train, similarity="cosine", topK=10, shrink=0.5)
+    plan = make_mesh(n_data=1, n_model=7)  # 80 = 7 * 11 + 3 -> padded
+    got = compute_similarity(train, similarity="cosine", topK=10, shrink=0.5, mesh_plan=plan)
+    _assert_same_sparse(got, base)
+
+
+def test_itemknn_and_easer_fit_on_mesh(urm_pair):
+    """End-to-end: ItemKNN-cosine and EASE-R fits accept mesh_plan and match
+    the single-device models."""
+    from ganmf_tpu.models import ItemKNNCFRecommender
+    from ganmf_tpu.models.extras import EASE_R_Recommender
+
+    train, test = urm_pair
+    plan = make_mesh(n_data=1, n_model=8)
+
+    base = ItemKNNCFRecommender(train)
+    base.fit(topK=10, shrink=10.0, similarity="cosine")
+    sharded = ItemKNNCFRecommender(train)
+    sharded.fit(topK=10, shrink=10.0, similarity="cosine", mesh_plan=plan)
+    _assert_same_sparse(sharded.W_sparse, base.W_sparse)
+
+    be = EASE_R_Recommender(train)
+    be.fit(topK=10, l2_norm=50.0)
+    se = EASE_R_Recommender(train)
+    se.fit(topK=10, l2_norm=50.0, mesh_plan=plan)
+    np.testing.assert_allclose(
+        se.W_sparse.toarray(), be.W_sparse.toarray(), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_sharded_evaluator_with_diversity_matches_single(urm_pair):
     """The device diversity metric composes with a mesh plan (GSPMD handles
     the sharded gather/top-k) and equals the single-device result."""
