@@ -254,12 +254,13 @@ class DisGANMF(AdversarialRecommender):
             jax.random.PRNGKey(self.seed), n_rows, n_cols, int(num_factors), int(d_layers), int(d_nodes)
         )
         if mesh_plan is not None:
-            if urm_storage == "csr":
-                raise NotImplementedError("urm_storage='csr' is single-chip")
-            from ganmf_tpu.parallel.distributed import shard_disganmf_params
+            from ganmf_tpu.parallel.distributed import shard_disganmf_params, shard_padded_csr
 
             self.params = shard_disganmf_params(self.params, mesh_plan)
-            urm = jax.device_put(urm, mesh_plan.urm)
+            if urm_storage == "csr":  # user-axis-sharded streamed storage
+                urm = shard_padded_csr(urm, mesh_plan)
+            else:
+                urm = jax.device_put(urm, mesh_plan.urm)
         self._d_state = ADAM.init(_d_params(self.params))
         self._g_state = (
             ADAM.init((self.params.item_emb,)),

@@ -75,20 +75,32 @@ def _autoencode(p: GANMFParams, x):
 
 def _masked_mse(a, b, w):
     """Mean squared error over valid rows (tf.losses.mean_squared_error of
-    the reference computes a plain mean; padding rows carry zero weight)."""
-    per_elem = (a - b) ** 2 * w[:, None]
+    the reference computes a plain mean; padding rows carry zero weight).
+    The reduction runs in f32 regardless of the activation dtype (the
+    convert fuses into the reduce, so bf16 activations cost no extra HBM)."""
+    diff = a.astype(jnp.float32) - b.astype(jnp.float32)
+    per_elem = diff**2 * w[:, None]
     return jnp.sum(per_elem) / (jnp.maximum(jnp.sum(w), 1.0) * a.shape[1])
 
 
 def _l2(tensors):
-    # tf.nn.l2_loss(v) = sum(v^2) / 2
-    return sum(jnp.sum(t**2) / 2.0 for t in tensors)
+    # tf.nn.l2_loss(v) = sum(v^2) / 2; always over the f32 master params
+    return sum(jnp.sum(t.astype(jnp.float32) ** 2) / 2.0 for t in tensors)
 
 
-def _losses(p: GANMFParams, uids, real, w, m, recon_coefficient, d_reg, g_reg):
-    fake = jnp.dot(jnp.take(p.user_emb, uids, axis=0), p.item_emb.T)
-    real_enc, real_dec = _autoencode(p, real)
-    fake_enc, fake_dec = _autoencode(p, fake)
+def _losses(p: GANMFParams, uids, real, w, m, recon_coefficient, d_reg, g_reg,
+            compute_dtype=jnp.float32):
+    """compute_dtype=bf16 runs the matmuls and [B, I] activations in
+    bfloat16 (halving their HBM traffic) while the L2 regularizers and all
+    loss reductions stay f32; gradients flow back to the f32 master params
+    through the casts (SURVEY §7 / VERDICT r2 #9)."""
+    pc = p
+    if compute_dtype != jnp.float32:
+        pc = GANMFParams(*(t.astype(compute_dtype) for t in p))
+        real = real.astype(compute_dtype)
+    fake = jnp.dot(jnp.take(pc.user_emb, uids, axis=0), pc.item_emb.T)
+    real_enc, real_dec = _autoencode(pc, real)
+    fake_enc, fake_dec = _autoencode(pc, fake)
     real_recon = _masked_mse(real, real_dec, w)
     fake_recon = _masked_mse(fake, fake_dec, w)
 
@@ -121,7 +133,7 @@ def _lazy_adam_rows(param, g, m, v, row_mask, lr, t, b1=0.9, b2=0.999, eps=1e-8)
 
 @functools.partial(
     instrumented_jit,
-    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "lazy_user_adam"),
+    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "lazy_user_adam", "compute_dtype"),
 )
 def ganmf_epoch(
     params: GANMFParams,
@@ -141,8 +153,10 @@ def ganmf_epoch(
     d_steps: int,
     g_steps: int,
     lazy_user_adam: bool = False,
+    compute_dtype: str = "f32",
 ):
     n_cols = params.dec_b.shape[0]
+    cd = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     def get_batch(step):
         b = step % n_batches
@@ -156,12 +170,12 @@ def ganmf_epoch(
 
     def d_loss_fn(d_p, p, uids, real, w):
         p = p._replace(enc_w=d_p[0], enc_b=d_p[1], dec_w=d_p[2], dec_b=d_p[3])
-        dloss, _ = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg)
+        dloss, _ = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg, compute_dtype=cd)
         return dloss
 
     def g_loss_fn(g_p, p, uids, real, w):
         p = p._replace(user_emb=g_p[0], item_emb=g_p[1])
-        _, gloss = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg)
+        _, gloss = _losses(p, uids, real, w, m, recon_coefficient, d_reg, g_reg, compute_dtype=cd)
         return gloss
 
     def d_body(carry, step):
@@ -235,6 +249,7 @@ class GANMF(AdversarialRecommender):
         lazy_user_adam: bool = False,
         mesh_plan=None,
         urm_storage: str = "dense",
+        compute_dtype: str = "f32",
     ):
         """``mesh_plan`` (ganmf_tpu.parallel.MeshPlan, optional): place the
         URM, embeddings and autoencoder kernels over a (data, model) device
@@ -262,9 +277,13 @@ class GANMF(AdversarialRecommender):
             train_csr = self._train_matrix()
             n_rows, n_cols = train_csr.shape
             urm = padded_csr_from_sparse(train_csr)
+            if compute_dtype == "bf16":
+                urm = urm._replace(val=urm.val.astype(jnp.bfloat16))
         elif urm_storage == "dense":
             urm = self._train_dense()  # training orientation
             n_rows, n_cols = urm.shape
+            if compute_dtype == "bf16":
+                urm = urm.astype(jnp.bfloat16)
         else:
             raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
 
@@ -272,16 +291,16 @@ class GANMF(AdversarialRecommender):
         self.params = _init_params(key, n_rows, n_cols, self.num_factors, self.emb_dim)
 
         if mesh_plan is not None:
-            if urm_storage == "csr":
-                raise NotImplementedError(
-                    "urm_storage='csr' is single-chip; shard the dense URM "
-                    "over a mesh_plan instead (per-shard HBM drops by the "
-                    "data-axis size)"
-                )
-            from ganmf_tpu.parallel.distributed import shard_ganmf_params
+            from ganmf_tpu.parallel.distributed import shard_ganmf_params, shard_padded_csr
 
             self.params = shard_ganmf_params(self.params, mesh_plan)
-            urm = jax.device_put(urm, mesh_plan.urm)
+            if urm_storage == "csr":
+                # streamed storage composes with the mesh: the padded-CSR
+                # arrays shard over the user axis, each batch densifies its
+                # [B, I] block on device (GSPMD inserts the row gathers)
+                urm = shard_padded_csr(urm, mesh_plan)
+            else:
+                urm = jax.device_put(urm, mesh_plan.urm)
 
         self._d_state = ADAM.init(_d_params(self.params))
         self._g_state = (
@@ -312,7 +331,7 @@ class GANMF(AdversarialRecommender):
                 d_reg=float(d_reg), g_reg=float(g_reg),
                 n_batches=n_batches, batch_size=int(batch_size),
                 d_steps=int(d_steps), g_steps=int(g_steps),
-                lazy_user_adam=bool(lazy_user_adam),
+                lazy_user_adam=bool(lazy_user_adam), compute_dtype=compute_dtype,
             )
             # keep device scalars; converting would force a sync per epoch
             self.train_d_loss.append(dl)

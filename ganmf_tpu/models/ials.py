@@ -59,6 +59,45 @@ def _als_half_step(W: jnp.ndarray, P: jnp.ndarray, Y: jnp.ndarray, reg: float, c
     return xs.reshape(-1, K)[:N]
 
 
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk", "scaling"))
+def _als_half_step_csr(idx: jnp.ndarray, val: jnp.ndarray, n_cols: int, Y: jnp.ndarray,
+                       reg: float, alpha: float, epsilon: float, chunk: int, scaling: str):
+    """Streamed variant of _als_half_step: rows live as padded-CSR arrays
+    (O(nnz) HBM instead of two dense [N, I] confidence matrices); each
+    chunk densifies its [C, I] rating block on device and applies the
+    identical confidence -> Gram -> CG pipeline, so results match the
+    dense path bit-for-bit."""
+    N = idx.shape[0]
+    K = Y.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    YtY = jnp.dot(Y.T, Y, precision=hi) + reg * jnp.eye(K, dtype=Y.dtype)
+    Z = (Y[:, :, None] * Y[:, None, :]).reshape(n_cols, K * K)
+
+    pad = (-N) % chunk
+    idx_p = jnp.pad(idx, ((0, pad), (0, 0)), constant_values=n_cols)
+    val_p = jnp.pad(val, ((0, pad), (0, 0)))
+    n_chunks = (N + pad) // chunk
+
+    def body(carry, c):
+        bi = jax.lax.dynamic_slice_in_dim(idx_p, c * chunk, chunk, axis=0)  # [C, L]
+        bv = jax.lax.dynamic_slice_in_dim(val_p, c * chunk, chunk, axis=0)
+        r = jnp.zeros((chunk, n_cols + 1), bv.dtype)
+        r = r.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
+        obs = (r != 0).astype(r.dtype)
+        if scaling == "linear":
+            conf = (1.0 + alpha * r) * obs
+        else:
+            conf = (1.0 + alpha * jnp.log(1.0 + r / epsilon)) * obs
+        w = conf - obs
+        A = jnp.dot(w, Z, precision=hi).reshape(chunk, K, K)
+        b = jnp.dot(conf, Y, precision=hi)
+        x = _batched_cg(YtY[None] + A, b, iters=K + 16)
+        return carry, x
+
+    _, xs = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return xs.reshape(-1, K)[:N]
+
+
 def _batched_cg(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Solve the batch of SPD K x K systems by conjugate gradients. A
     batched LU (jnp.linalg.solve) runs off the MXU and dominated the IALS
@@ -104,29 +143,42 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
         init_std: float = 0.1,
         random_seed: int = 1234,
         mesh_plan=None,
+        urm_storage: str = "dense",
         **earlystopping_kwargs,
     ):
         if confidence_scaling not in self.AVAILABLE_CONFIDENCE_SCALING:
             raise ValueError(f"confidence_scaling must be one of {self.AVAILABLE_CONFIDENCE_SCALING}")
+        if urm_storage not in ("dense", "csr"):
+            raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
 
         self.num_factors = num_factors
         self.alpha = alpha
         self.epsilon = epsilon
         self.reg = reg
+        self._scaling = confidence_scaling
+        self._storage = urm_storage
 
         rng = np.random.RandomState(random_seed)
         # reference init: num_factors^-0.5 * U(0,1) (IALSRecommender.py:204-210)
         self.USER_factors = (num_factors ** -0.5 * rng.random_sample((self.n_users, num_factors))).astype(np.float32)
         self.ITEM_factors = (num_factors ** -0.5 * rng.random_sample((self.n_items, num_factors))).astype(np.float32)
 
-        R = self.device_urm().dense  # [U, I]
-        obs = (R != 0).astype(jnp.float32)
-        if confidence_scaling == "linear":
-            C = (1.0 + self.alpha * R) * obs
+        if urm_storage == "csr":
+            # streamed: O(nnz) padded-CSR storage per orientation; each
+            # half-step chunk builds its confidence block on the fly
+            from ganmf_tpu.data.device import padded_csr_from_sparse
+
+            self._pc_users = padded_csr_from_sparse(self.URM_train)
+            self._pc_items = padded_csr_from_sparse(self.URM_train.T.tocsr())
         else:
-            C = (1.0 + self.alpha * jnp.log(1.0 + R / self.epsilon)) * obs
-        self._W_users = C - obs  # (c - 1) on observed, 0 elsewhere
-        self._P_users = C  # c * p(u), implicit p = 1 on observed
+            R = self.device_urm().dense  # [U, I]
+            obs = (R != 0).astype(jnp.float32)
+            if confidence_scaling == "linear":
+                C = (1.0 + self.alpha * R) * obs
+            else:
+                C = (1.0 + self.alpha * jnp.log(1.0 + R / self.epsilon)) * obs
+            self._W_users = C - obs  # (c - 1) on observed, 0 elsewhere
+            self._P_users = C  # c * p(u), implicit p = 1 on observed
         self._warm_users = jnp.asarray(np.ediff1d(self.URM_train.indptr) > 0)
         self._warm_items = jnp.asarray(np.ediff1d(self.URM_train.tocsc().indptr) > 0)
 
@@ -137,10 +189,19 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
             # confidence matrices over (data, model); factors over their row
             # axis — the half-step's Gram contractions then psum over the
             # item (resp. user) shards via GSPMD
-            self._W_users = jax.device_put(self._W_users, mesh_plan.urm)
-            self._P_users = jax.device_put(self._P_users, mesh_plan.urm)
             self._U_dev = jax.device_put(self._U_dev, mesh_plan.user_rows)
             self._V_dev = jax.device_put(self._V_dev, mesh_plan.item_rows)
+            if urm_storage == "csr":
+                from ganmf_tpu.parallel.distributed import _safe_put, shard_padded_csr
+
+                self._pc_users = shard_padded_csr(self._pc_users, mesh_plan)
+                self._pc_items = type(self._pc_items)(
+                    idx=_safe_put(self._pc_items.idx, mesh_plan.item_rows, mesh_plan),
+                    val=_safe_put(self._pc_items.val, mesh_plan.item_rows, mesh_plan),
+                )
+            else:
+                self._W_users = jax.device_put(self._W_users, mesh_plan.urm)
+                self._P_users = jax.device_put(self._P_users, mesh_plan.urm)
 
         # chunk sized so the [C, K^2] Gram block stays under ~512 MB
         self._chunk_u = max(8, min(4096, int(512e6 / (4 * num_factors * num_factors))))
@@ -155,6 +216,16 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
 
     # -- epoch ------------------------------------------------------------------
     def _run_epoch(self, num_epoch):
+        if self._storage == "csr":
+            new_U = _als_half_step_csr(
+                self._pc_users.idx, self._pc_users.val, self.n_items, self._V_dev,
+                self.reg, self.alpha, self.epsilon, chunk=self._chunk_u, scaling=self._scaling)
+            self._U_dev = jnp.where(self._warm_users[:, None], new_U, self._U_dev)
+            new_V = _als_half_step_csr(
+                self._pc_items.idx, self._pc_items.val, self.n_users, self._U_dev,
+                self.reg, self.alpha, self.epsilon, chunk=self._chunk_i, scaling=self._scaling)
+            self._V_dev = jnp.where(self._warm_items[:, None], new_V, self._V_dev)
+            return
         new_U = _als_half_step(self._W_users, self._P_users, self._V_dev, self.reg, chunk=self._chunk_u)
         self._U_dev = jnp.where(self._warm_users[:, None], new_U, self._U_dev)
         new_V = _als_half_step(self._W_users.T, self._P_users.T, self._U_dev, self.reg, chunk=self._chunk_i)

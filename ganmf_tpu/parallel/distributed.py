@@ -68,6 +68,16 @@ def _safe_put(x, sharding, plan: MeshPlan):
     return jax.device_put(x, sharding)
 
 
+def shard_padded_csr(pc, plan: MeshPlan):
+    """Place streamed PaddedCSR storage on the mesh: both [R, L] arrays
+    shard over the user axis, so per-shard HBM is O(nnz / n_user_shards).
+    Batch densification then gathers rows across data shards via GSPMD."""
+    return type(pc)(
+        idx=_safe_put(pc.idx, plan.user_rows, plan),
+        val=_safe_put(pc.val, plan.user_rows, plan),
+    )
+
+
 def shard_disganmf_params(params, plan: MeshPlan):
     """DisGANMFParams placement: embeddings over (data|model), the
     discriminator's first (item-wide) kernel over model, the small hidden

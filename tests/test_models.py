@@ -230,6 +230,38 @@ def test_ganmf_streamed_urm_matches_dense(urm_pair, model_name):
     assert res_s[5]["NDCG"] == pytest.approx(res_d[5]["NDCG"], abs=1e-9)
 
 
+def test_ganmf_bf16_compute_dtype(urm_pair):
+    """compute_dtype='bf16' trains with bf16 matmuls over f32 master params
+    and lands near the f32 run (exactness is not expected — bf16 has ~3
+    decimal digits); params stay f32 and metrics stay finite."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import GANMF
+
+    train, test = urm_pair
+    kwargs = dict(num_factors=4, emb_dim=8, epochs=5, batch_size=16)
+    f32 = GANMF(train, seed=3)
+    f32.fit(**kwargs)
+    b16 = GANMF(train, seed=3)
+    b16.fit(compute_dtype="bf16", **kwargs)
+
+    assert b16.params.user_emb.dtype == jnp.float32  # master params stay f32
+    # early in training the trajectories track within bf16 resolution
+    np.testing.assert_allclose(
+        np.asarray(b16.params.user_emb), np.asarray(f32.params.user_emb),
+        rtol=0.1, atol=5e-3,
+    )
+    res, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(b16)
+    assert np.isfinite(res[5]["MAP"])
+
+    # streamed storage composes with bf16
+    s16 = GANMF(train, seed=3)
+    s16.fit(compute_dtype="bf16", urm_storage="csr", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(s16.params.user_emb), np.asarray(b16.params.user_emb),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_caae_cdf_sampler_distribution():
     """The inverse-CDF binary-search sampler draws from the exact softmax
     distribution (reference cython_utils.pyx:74-104 semantics)."""
