@@ -234,6 +234,42 @@ def test_evaluator_mode_path_matrix(urm_pair, mode, path):
                 assert g == pytest.approx(value, rel=1e-5, abs=1e-6), (c, metric, path, mode)
 
 
+@pytest.mark.parametrize("kind", ["item", "user", "item_ignore"])
+def test_fused_similarity_eval_matches_dense(urm_pair, kind):
+    """The fused matmul+top_k+probe path for similarity-family models
+    (URM[u] @ W / W[u] @ URM) reproduces the dense-path metrics, RMSE
+    included (VERDICT r2 #7)."""
+    from ganmf_tpu.models import ItemKNNCFRecommender, UserKNNCFRecommender
+
+    train, test = urm_pair
+    # explicit ratings so RMSE is non-trivial
+    test = test.copy()
+    test.data = np.clip(test.data * 4.0, 1.0, 5.0)
+
+    if kind == "user":
+        m = UserKNNCFRecommender(train)
+    else:
+        m = ItemKNNCFRecommender(train)
+    m.fit(topK=10, shrink=5.0, similarity="cosine")
+
+    kwargs = {"ignore_items": [0, 1, 2]} if kind == "item_ignore" else {}
+    ev = EvaluatorHoldout(test, [5, 20], **kwargs)
+    assert ev._can_fuse_sim(m)
+    fused, _ = ev.evaluateRecommender(m)
+
+    ev2 = EvaluatorHoldout(test, [5, 20], **kwargs)
+    ev2._can_fuse_sim = lambda model: False
+    dense, _ = ev2.evaluateRecommender(m)
+
+    for c in (5, 20):
+        for metric, value in dense[c].items():
+            got = fused[c][metric]
+            if np.isnan(value):
+                assert np.isnan(got), (c, metric)
+            else:
+                assert got == pytest.approx(value, rel=1e-5, abs=1e-6), (c, metric, kind)
+
+
 def test_debug_mode_catches_nan_scores(urm_pair, monkeypatch):
     from ganmf_tpu.eval.evaluator import EvaluatorHoldout
 
