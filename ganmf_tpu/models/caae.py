@@ -9,9 +9,10 @@ loss (:106-119). All three use plain SGD (:140-142).
 TPU redesign (the reference interleaves host-side CDF sampling with
 device updates every step, :228-337):
   * epoch-start G/G' reconstructions of all profiles are computed once on
-    device; negative items for the D phase are drawn with
-    jax.random.categorical per d_bsize chunk inside the epoch scan
-    (equivalent to the reference's host inverse-CDF binary search,
+    device; ALL negative items for the D phase are drawn up front in one
+    vectorized bucketed inverse-CDF pass (the tables are fixed at epoch
+    start, so nothing in the serialized update scan depends on them;
+    equivalent to the reference's host inverse-CDF binary search,
     GANRec/Cython/cython_utils.pyx:74-104);
   * the G phase's weighted without-replacement sample Nu (prob ~ G'
     softmax restricted to non-interactions, size S * |non-interactions|)
@@ -212,27 +213,42 @@ def caae_epoch(
         reg_rows = 0.5 * (jnp.sum(ue**2, 1) + jnp.sum(pe**2, 1) + jnp.sum(ne**2, 1))
         return -log_lik + beta * jnp.sum(reg_rows * w)
 
-    def d_fused_update(tab, u, pos, neg, w):
-        idxs = jnp.concatenate([u, n_users + pos, n_users + neg])
+    def d_fused_update(tab, idxs, w):
         rows = jnp.take(tab, idxs, axis=0)  # [3B, K+1]
         g_rows = jax.grad(d_local_loss)(rows, w)
         return tab.at[idxs].add(-lr * g_rows)
 
-    def d_chunk_update(carry, step):
-        tab, k = carry
-        b = (step % n_d_chunks) * d_bsize
-        u = jax.lax.dynamic_slice_in_dim(users, b, d_bsize)
-        pos = jax.lax.dynamic_slice_in_dim(pos_items, b, d_bsize)
-        w = jax.lax.dynamic_slice_in_dim(weights, b, d_bsize)
+    # Negatives depend only on the epoch-start tables and the fixed shuffled
+    # user stream — never on the evolving embedding table — so ALL of them
+    # are drawn here in one fully-parallel pass instead of inside the scan,
+    # and the full [n_steps, 3B] fused gather-index arrays are assembled up
+    # front. The serialized loop body shrinks to gather + grad + scatter;
+    # the four bucket/within-bucket CDF gathers, the RNG splits, and the
+    # index slicing/concat it used to pay per iteration become one
+    # vectorized pass over [n_steps * B].
+    n_steps = d_steps * n_d_chunks
+    u_all = jnp.tile(
+        users[: n_d_chunks * d_bsize].reshape(n_d_chunks, d_bsize), (d_steps, 1)
+    )  # [n_steps, B]
+    pos_all = jnp.tile(
+        pos_items[: n_d_chunks * d_bsize].reshape(n_d_chunks, d_bsize), (d_steps, 1)
+    )
+    w_all = jnp.tile(
+        weights[: n_d_chunks * d_bsize].reshape(n_d_chunks, d_bsize), (d_steps, 1)
+    )
+    k_d1, k_d2 = jax.random.split(k_d)
+    step_rows = u_all.reshape(n_steps * d_bsize)
+    neg_g_all = cdf_sample((g_bcdf, g_wcdf), step_rows, k_d1).reshape(n_steps, d_bsize)
+    neg_gpr_all = cdf_sample((gpr_bcdf, gpr_wcdf), step_rows, k_d2).reshape(n_steps, d_bsize)
+    idx_g_all = jnp.concatenate([u_all, n_users + pos_all, n_users + neg_g_all], axis=1)
+    idx_gpr_all = jnp.concatenate([u_all, n_users + pos_all, n_users + neg_gpr_all], axis=1)
 
-        k, k1, k2 = jax.random.split(k, 3)
-        neg_g = cdf_sample((g_bcdf, g_wcdf), u, k1)
-        neg_gpr = cdf_sample((gpr_bcdf, gpr_wcdf), u, k2)
-
+    def d_chunk_update(tab, inputs):
+        idx_g, idx_gpr, w = inputs
         # one update with G negatives, one with G' negatives (CAAE.py:255-265)
-        tab = d_fused_update(tab, u, pos, neg_g, w)
-        tab = d_fused_update(tab, u, pos, neg_gpr, w)
-        return (tab, k), None
+        tab = d_fused_update(tab, idx_g, w)
+        tab = d_fused_update(tab, idx_gpr, w)
+        return tab, None
 
     tab = jnp.concatenate(
         [
@@ -241,8 +257,7 @@ def caae_epoch(
         ],
         axis=0,
     )
-    steps = jnp.arange(d_steps * n_d_chunks)
-    (tab, _), _ = jax.lax.scan(d_chunk_update, (tab, k_d), steps)
+    tab, _ = jax.lax.scan(d_chunk_update, tab, (idx_g_all, idx_gpr_all, w_all))
     params = params._replace(
         d_user_emb=tab[:n_users, :K],
         d_item_emb=tab[n_users:, :K],
