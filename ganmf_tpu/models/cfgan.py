@@ -75,7 +75,9 @@ def _mlp(p: MLPParams, x, hidden_act):
 
 
 def _bce(logits, target, w):
-    per = optax.sigmoid_binary_cross_entropy(logits[:, 0], jnp.full_like(logits[:, 0], target))
+    # the loss reduction always runs in f32 (bf16 activations upcast here)
+    lg = logits[:, 0].astype(jnp.float32)
+    per = optax.sigmoid_binary_cross_entropy(lg, jnp.full_like(lg, target))
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -101,7 +103,7 @@ def sample_negative_masks(key, urm: jnp.ndarray, zr_ratio: float, zp_ratio: floa
         order = jnp.argsort(keys, axis=1)
         ranks = jnp.argsort(order, axis=1)
         k_u = (n_zeros * ratio).astype(jnp.int32)
-        return (ranks < k_u[:, None]).astype(jnp.float32)
+        return (ranks < k_u[:, None]).astype(urm.dtype)
 
     k_zr, k_pm = jax.random.split(key)
     zr = draw(k_zr, zr_ratio) if scheme in ("ZP", "ZR") else jnp.zeros_like(urm)
@@ -114,6 +116,7 @@ def sample_negative_masks(key, urm: jnp.ndarray, zr_ratio: float, zp_ratio: floa
     static_argnames=(
         "scheme", "d_hidden_act", "g_hidden_act",
         "d_n_batches", "d_batch", "g_n_batches", "g_batch", "d_steps", "g_steps",
+        "compute_dtype",
     ),
 )
 def cfgan_epoch(
@@ -123,8 +126,17 @@ def cfgan_epoch(
     d_lr, g_lr, d_reg, g_reg, zr_ratio, zp_ratio, zr_coefficient,
     scheme, d_hidden_act, g_hidden_act,
     d_n_batches, d_batch, g_n_batches, g_batch, d_steps, g_steps,
+    compute_dtype: str = "f32",
 ):
     n_users, n_items = urm.shape
+    cd = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+
+    def cast(tree):
+        # bf16 mode: matmuls/activations run in bfloat16 against the f32
+        # master params; L2 and loss reductions stay f32 (ganmf.py recipe)
+        if cd == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(lambda t: t.astype(cd), tree)
     zr_mask_full, pm_mask_full = sample_negative_masks(key, urm, zr_ratio, zp_ratio, scheme)
     # train mask: profile with PM-sampled negatives flipped to 1 (CFGAN.py:242-249)
     train_mask_full = jnp.clip(urm + pm_mask_full, 0.0, 1.0) if scheme in ("ZP", "PM") else urm
@@ -133,16 +145,19 @@ def cfgan_epoch(
         return jax.lax.dynamic_slice_in_dim(mat, start, size, axis=0)
 
     def d_loss_fn(d_p, g_p, cond, real, tmask, w):
-        fake = _mlp(g_p, cond, g_hidden_act) * tmask
-        d_real = _mlp(d_p, jnp.concatenate([cond, real], axis=1), d_hidden_act)
-        d_fake = _mlp(d_p, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
+        d_c, g_c = cast(d_p), cast(g_p)
+        fake = _mlp(g_c, cond, g_hidden_act) * tmask
+        d_real = _mlp(d_c, jnp.concatenate([cond, real], axis=1), d_hidden_act)
+        d_fake = _mlp(d_c, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
         return _bce(d_real, 1.0, w) + _bce(d_fake, 0.0, w) + d_reg * _l2(d_p)
 
     def g_loss_fn(g_p, d_p, cond, tmask, zmask, w):
-        fake_raw = _mlp(g_p, cond, g_hidden_act)
+        g_c, d_c = cast(g_p), cast(d_p)
+        fake_raw = _mlp(g_c, cond, g_hidden_act)
         fake = fake_raw * tmask
-        d_fake = _mlp(d_p, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
-        zr_loss = jnp.sum(jnp.sum(fake_raw**2 * zmask, axis=1) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        d_fake = _mlp(d_c, jnp.concatenate([cond, fake], axis=1), d_hidden_act)
+        sq = fake_raw.astype(jnp.float32) ** 2 * zmask.astype(jnp.float32)
+        zr_loss = jnp.sum(jnp.sum(sq, axis=1) * w) / jnp.maximum(jnp.sum(w), 1.0)
         return _bce(d_fake, 1.0, w) + g_reg * _l2(g_p) + zr_coefficient * zr_loss
 
     def d_body(carry, step):
@@ -205,6 +220,7 @@ class CFGAN(AdversarialRecommender):
         sample_every=None,
         validation_set=None,
         mesh_plan=None,
+        compute_dtype: str = "f32",
     ):
         # ratios are fractions in [0, 1]; the root search space's {10..90}
         # integers (RecSysExp.py:480-481) are percentage points — normalize.
@@ -228,6 +244,8 @@ class CFGAN(AdversarialRecommender):
         g_n_batches, g_padded = make_batches(n_rows, int(g_batch_size))
         padded = max(d_padded, g_padded)
         urm = jnp.asarray(np.pad(urm_np, ((0, padded - n_rows), (0, 0))))
+        if compute_dtype == "bf16":
+            urm = urm.astype(jnp.bfloat16)  # masks/condition inherit bf16
         d_weights = jnp.asarray(padded_weights(n_rows, padded))
         g_weights = d_weights
 
@@ -258,6 +276,7 @@ class CFGAN(AdversarialRecommender):
                 d_n_batches=d_n_batches, d_batch=int(d_batch_size),
                 g_n_batches=g_n_batches, g_batch=int(g_batch_size),
                 d_steps=int(d_steps), g_steps=int(g_steps),
+                compute_dtype=compute_dtype,
             )
             self._score_cache = None
 

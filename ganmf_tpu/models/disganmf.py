@@ -94,7 +94,7 @@ def _d_params(p):
 
 
 def _discriminate(p: DisGANMFParams, uids, x, act):
-    h = jnp.concatenate([uids[:, None].astype(jnp.float32), x], axis=1)
+    h = jnp.concatenate([uids[:, None].astype(x.dtype), x], axis=1)
     for w, b in zip(p.d_ws, p.d_bs):
         h = act(jnp.dot(h, w) + b)
     features = h
@@ -103,12 +103,16 @@ def _discriminate(p: DisGANMFParams, uids, x, act):
 
 
 def _bce(logits, target, w):
-    per = optax.sigmoid_binary_cross_entropy(logits[:, 0], jnp.full_like(logits[:, 0], target))
+    # the loss reduction always runs in f32 (bf16 activations upcast here;
+    # the convert fuses into the reduce)
+    lg = logits[:, 0].astype(jnp.float32)
+    per = optax.sigmoid_binary_cross_entropy(lg, jnp.full_like(lg, target))
     return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def _masked_mse(a, b, w):
-    return jnp.sum((a - b) ** 2 * w[:, None]) / (jnp.maximum(jnp.sum(w), 1.0) * a.shape[1])
+    diff = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.sum(diff**2 * w[:, None]) / (jnp.maximum(jnp.sum(w), 1.0) * a.shape[1])
 
 
 def _l2(tree):
@@ -117,16 +121,18 @@ def _l2(tree):
 
 @functools.partial(
     instrumented_jit,
-    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "d_hidden_act", "lazy_user_adam"),
+    static_argnames=("n_batches", "batch_size", "d_steps", "g_steps", "d_hidden_act", "lazy_user_adam", "compute_dtype"),
 )
 def disganmf_epoch(
     params, d_opt_state, g_opt_state, urm, perm, weights, d_lr, g_lr,
     recon_coefficient, d_reg, g_reg,
     n_batches, batch_size, d_steps, g_steps, d_hidden_act,
     lazy_user_adam: bool = True,
+    compute_dtype: str = "f32",
 ):
     act = ACTIVATIONS[d_hidden_act]
     n_cols = params.item_emb.shape[0]
+    cd = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     def get_batch(step):
         b = step % n_batches
@@ -139,9 +145,16 @@ def disganmf_epoch(
         return uids, real, w
 
     def losses(p, uids, real, w):
-        fake = jnp.dot(jnp.take(p.user_emb, uids, axis=0), p.item_emb.T)
-        real_feat, real_out = _discriminate(p, uids, real, act)
-        fake_feat, fake_out = _discriminate(p, uids, fake, act)
+        # bf16 mode runs the matmuls and [B, I]/[B, nodes] activations in
+        # bfloat16; L2 regularizers stay over the f32 master params and the
+        # loss reductions upcast (same recipe as ganmf.py:_losses)
+        pc = p
+        if cd != jnp.float32:
+            pc = jax.tree_util.tree_map(lambda t: t.astype(cd), p)
+            real = real.astype(cd)
+        fake = jnp.dot(jnp.take(pc.user_emb, uids, axis=0), pc.item_emb.T)
+        real_feat, real_out = _discriminate(pc, uids, real, act)
+        fake_feat, fake_out = _discriminate(pc, uids, fake, act)
         loss_real = _bce(real_out, 1.0, w)
         loss_fake = _bce(fake_out, 0.0, w)
         dloss = loss_real + loss_fake + d_reg * _l2(_d_params(p))
@@ -223,6 +236,7 @@ class DisGANMF(AdversarialRecommender):
         lazy_user_adam=None,
         mesh_plan=None,
         urm_storage: str = "dense",
+        compute_dtype: str = "f32",
     ):
         # DisGANMF's discriminator conditions on the raw user-id value
         # (DisGANMF.py:110-111), which makes training dynamics seed-fragile
@@ -244,9 +258,13 @@ class DisGANMF(AdversarialRecommender):
             train_csr = self._train_matrix()
             n_rows, n_cols = train_csr.shape
             urm = padded_csr_from_sparse(train_csr)
+            if compute_dtype == "bf16":
+                urm = urm._replace(val=urm.val.astype(jnp.bfloat16))
         elif urm_storage == "dense":
             urm = self._train_dense()
             n_rows, n_cols = urm.shape
+            if compute_dtype == "bf16":
+                urm = urm.astype(jnp.bfloat16)
         else:
             raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
 
@@ -286,7 +304,7 @@ class DisGANMF(AdversarialRecommender):
                 jnp.float32(recon_coefficient), jnp.float32(d_reg), jnp.float32(g_reg),
                 n_batches=n_batches, batch_size=int(batch_size),
                 d_steps=int(d_steps), g_steps=int(g_steps), d_hidden_act=d_hidden_act,
-                lazy_user_adam=bool(lazy_user_adam),
+                lazy_user_adam=bool(lazy_user_adam), compute_dtype=compute_dtype,
             )
 
         result = self._run_training_loop(

@@ -262,6 +262,38 @@ def test_ganmf_bf16_compute_dtype(urm_pair):
     )
 
 
+@pytest.mark.parametrize("model_name", ["disganmf", "cfgan"])
+def test_adversarial_bf16_compute_dtype(urm_pair, model_name):
+    """bf16 epoch programs for the other two dense-URM GANs: f32 master
+    params, trajectories near the f32 run, finite metrics."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import CFGAN, DisGANMF
+
+    train, test = urm_pair
+    if model_name == "disganmf":
+        mk = lambda: DisGANMF(train, seed=3)
+        kwargs = dict(num_factors=4, d_layers=1, d_nodes=8, epochs=5, batch_size=16)
+        leaf = lambda m: m.params.user_emb
+    else:
+        mk = lambda: CFGAN(train, seed=3)
+        kwargs = dict(d_nodes=8, g_nodes=8, scheme="ZP", zr_ratio=0.3,
+                      zp_ratio=0.3, zr_coefficient=0.1, epochs=5,
+                      d_batch_size=16, g_batch_size=16, allow_worse=None, freq=None)
+        leaf = lambda m: m.params.G.ws[0]
+
+    f32 = mk()
+    f32.fit(**kwargs)
+    b16 = mk()
+    b16.fit(compute_dtype="bf16", **kwargs)
+
+    assert leaf(b16).dtype == jnp.float32  # master params stay f32
+    np.testing.assert_allclose(
+        np.asarray(leaf(b16)), np.asarray(leaf(f32)), rtol=0.1, atol=5e-3,
+    )
+    res, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(b16)
+    assert np.isfinite(res[5]["MAP"])
+
+
 def test_caae_cdf_sampler_distribution():
     """The inverse-CDF binary-search sampler draws from the exact softmax
     distribution (reference cython_utils.pyx:74-104 semantics)."""
