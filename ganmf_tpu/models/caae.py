@@ -126,7 +126,7 @@ def _cdf_sample(cdf, rows, key, n_items: int):
 
 @functools.partial(
     instrumented_jit,
-    static_argnames=("d_bsize", "n_d_chunks", "d_steps", "g_steps", "gpr_steps", "m_batch", "n_samples"),
+    static_argnames=("d_bsize", "n_d_chunks", "d_steps", "g_steps", "gpr_steps", "m_batch", "n_samples", "d_scatter"),
 )
 def caae_epoch(
     params: CAAEParams,
@@ -146,6 +146,7 @@ def caae_epoch(
     gpr_steps: int,
     m_batch: int,
     n_samples: int,
+    d_scatter: str = "direct",
 ):
     n_users, n_items = urm.shape
     interacted = urm != 0
@@ -243,13 +244,6 @@ def caae_epoch(
     idx_g_all = jnp.concatenate([u_all, n_users + pos_all, n_users + neg_g_all], axis=1)
     idx_gpr_all = jnp.concatenate([u_all, n_users + pos_all, n_users + neg_gpr_all], axis=1)
 
-    def d_chunk_update(tab, inputs):
-        idx_g, idx_gpr, w = inputs
-        # one update with G negatives, one with G' negatives (CAAE.py:255-265)
-        tab = d_fused_update(tab, idx_g, w)
-        tab = d_fused_update(tab, idx_gpr, w)
-        return tab, None
-
     tab = jnp.concatenate(
         [
             jnp.pad(params.d_user_emb, ((0, 0), (0, 1))),
@@ -257,7 +251,67 @@ def caae_epoch(
         ],
         axis=0,
     )
-    tab, _ = jax.lax.scan(d_chunk_update, tab, (idx_g_all, idx_gpr_all, w_all))
+
+    if d_scatter == "direct":
+
+        def d_chunk_update(tab, inputs):
+            idx_g, idx_gpr, w = inputs
+            # one update with G negatives, one with G' negatives (CAAE.py:255-265)
+            tab = d_fused_update(tab, idx_g, w)
+            tab = d_fused_update(tab, idx_gpr, w)
+            return tab, None
+
+        tab, _ = jax.lax.scan(d_chunk_update, tab, (idx_g_all, idx_gpr_all, w_all))
+    else:
+        # "dedup": conflict-free scatters. XLA must serialize a scatter-add
+        # whose indices may collide; here every update's duplicate handling
+        # is resolved OUTSIDE the scan — the index stream is sorted per
+        # update (one batched per-epoch sort), duplicate runs are summed
+        # inside the scan with one cumsum + two gathers (gathers have no
+        # write hazards), and the scatter sees provably unique indices
+        # (run starts keep their row, every other slot targets its own
+        # scratch row past the table). Same math as "direct" up to f32
+        # summation order within a duplicate run.
+        nb3 = 3 * d_bsize
+        pos_col = jnp.arange(nb3)
+
+        def prep(idx_all):
+            sort_idx = jnp.sort(idx_all, axis=1)
+            perm = jnp.argsort(idx_all, axis=1)
+            is_start = jnp.concatenate(
+                [jnp.ones((n_steps, 1), bool), sort_idx[:, 1:] != sort_idx[:, :-1]], axis=1
+            )
+            # end of each duplicate run = (next run's start) - 1
+            nxt = jnp.where(is_start, pos_col[None, :], nb3)
+            nxt = jnp.flip(jax.lax.cummin(jnp.flip(jnp.roll(nxt, -1, axis=1).at[:, -1].set(nb3), axis=1), axis=1), axis=1)
+            end_pos = jnp.minimum(nxt - 1, nb3 - 1)
+            scat_idx = jnp.where(is_start, sort_idx, n_users + n_items + pos_col[None, :])
+            return perm.astype(jnp.int32), scat_idx.astype(jnp.int32), end_pos.astype(jnp.int32)
+
+        perm_g, scat_g, end_g = prep(idx_g_all)
+        perm_gpr, scat_gpr, end_gpr = prep(idx_gpr_all)
+
+        def d_dedup_update(tab, idxs, perm, scat, end, w):
+            rows = jnp.take(tab, idxs, axis=0)  # [3B, K+1] (duplicates fine)
+            g_rows = jax.grad(d_local_loss)(rows, w)
+            g_sorted = jnp.take(g_rows, perm, axis=0)
+            c = jnp.cumsum(g_sorted, axis=0)
+            upper = jnp.take(c, end, axis=0)
+            lower = jnp.where((pos_col > 0)[:, None], jnp.take(c, jnp.maximum(pos_col - 1, 0), axis=0), 0.0)
+            return tab.at[scat].add(-lr * (upper - lower), unique_indices=True)
+
+        def d_chunk_update(tab, inputs):
+            idx_g, pg, sg, eg, idx_gpr, pp, sp, ep, w = inputs
+            tab = d_dedup_update(tab, idx_g, pg, sg, eg, w)
+            tab = d_dedup_update(tab, idx_gpr, pp, sp, ep, w)
+            return tab, None
+
+        tab = jnp.pad(tab, ((0, nb3), (0, 0)))  # scratch rows for non-starts
+        tab, _ = jax.lax.scan(
+            d_chunk_update, tab,
+            (idx_g_all, perm_g, scat_g, end_g, idx_gpr_all, perm_gpr, scat_gpr, end_gpr, w_all),
+        )
+        tab = tab[: n_users + n_items]
     params = params._replace(
         d_user_emb=tab[:n_users, :K],
         d_item_emb=tab[n_users:, :K],
@@ -370,6 +424,7 @@ class CAAE(AdversarialRecommender):
         validation_evaluator=None,
         validation_set=None,
         mesh_plan=None,
+        d_scatter: str = "direct",
     ):
         self.config = dict(
             epochs=epochs, d_steps=d_steps, g_steps=g_steps, gpr_steps=gpr_steps,
@@ -423,7 +478,7 @@ class CAAE(AdversarialRecommender):
                 jnp.float32(lr), jnp.float32(beta), jnp.float32(lmbda), jnp.float32(S),
                 d_bsize=int(d_bsize), n_d_chunks=n_d_chunks,
                 d_steps=int(d_steps), g_steps=int(g_steps), gpr_steps=int(gpr_steps),
-                m_batch=m_batch_eff, n_samples=n_samples,
+                m_batch=m_batch_eff, n_samples=n_samples, d_scatter=d_scatter,
             )
             self._score_cache = None
 

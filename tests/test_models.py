@@ -178,6 +178,27 @@ def test_caae(urm_pair):
     assert np.isfinite(_map_at5(model, test))
 
 
+def test_caae_dedup_scatter_matches_direct(urm_pair):
+    """d_scatter='dedup' (sorted index streams, conflict-free
+    unique_indices scatters) follows the same D-phase trajectory as the
+    serialized-duplicate 'direct' scatter, up to f32 run-summation order."""
+    train, _ = urm_pair
+    kwargs = dict(epochs=2, d_steps=2, g_steps=1, gpr_steps=1, g_layers=1,
+                  g_units=16, num_factors=8, d_bsize=32, m_batch=8, lr=1e-2)
+    direct = CAAE(train, seed=1)
+    direct.fit(d_scatter="direct", **kwargs)
+    dedup = CAAE(train, seed=1)
+    dedup.fit(d_scatter="dedup", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(dedup.params.d_user_emb), np.asarray(direct.params.d_user_emb),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dedup.params.d_item_bias), np.asarray(direct.params.d_item_bias),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_userknn_and_globaleffects(urm_pair):
     train, test = urm_pair
     uk = UserKNNCFRecommender(train)
