@@ -123,6 +123,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         random_seed: int = 1234,
         batch_size: int = 256,
         samples_per_epoch: int = None,
+        mesh_plan=None,
         **earlystopping_kwargs,
     ):
         rng = np.random.RandomState(random_seed)
@@ -151,6 +152,21 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             cacheU=jnp.zeros((self.n_users,), jnp.float32),
             cacheV=jnp.zeros((self.n_items,), jnp.float32),
         )
+        if mesh_plan is not None:
+            # the dense [U, I] URM (the big buffer) shards over the mesh;
+            # factor tables shard by their major axis; the same jitted epoch
+            # runs SPMD via GSPMD — trajectory identical to single-device
+            self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
+            self._pad = jax.device_put(self._pad, mesh_plan.user_rows)
+            self._state = self._state._replace(
+                U=jax.device_put(self._state.U, mesh_plan.user_rows),
+                bU=jax.device_put(self._state.bU, mesh_plan.user_rows),
+                cacheU=jax.device_put(self._state.cacheU, mesh_plan.user_rows),
+                V=jax.device_put(self._state.V, mesh_plan.item_rows),
+                bV=jax.device_put(self._state.bV, mesh_plan.item_rows),
+                cacheV=jax.device_put(self._state.cacheV, mesh_plan.item_rows),
+            )
+
         self._key = jax.random.PRNGKey(random_seed)
         self._chunk = int(batch_size)
         n_samples = samples_per_epoch or max(self.n_users, urm.nnz // 4)

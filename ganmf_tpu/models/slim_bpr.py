@@ -170,6 +170,7 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         beta_1: float = 0.9,
         beta_2: float = 0.999,
         chunk_size: int = 64,
+        mesh_plan=None,
         **earlystopping_kwargs,
     ):
         self.symmetric = symmetric
@@ -213,6 +214,21 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         self._key = jax.random.PRNGKey(random_seed)
         # one reference epoch = n_users samples (+1 partial batch, pyx:201)
         self._n_chunks = max(1, int(np.ceil(self.n_users / self._chunk)))
+
+        if mesh_plan is not None:
+            # model-parallel memory: the dense [I, I] W (the HBM wall at
+            # large catalogs — 1.2 GB f32 at LastFM) row-shards over the
+            # mesh model axis, the URM over (data, model); the same jitted
+            # epoch runs SPMD with GSPMD-inserted gathers/scatters, so the
+            # trajectory is bit-identical to single-device
+            self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
+            self._pad_dev = jax.device_put(self._pad_dev, mesh_plan.user_rows)
+            self._state = self._state._replace(
+                W=jax.device_put(self._state.W, mesh_plan.item_rows),
+                cache=jax.device_put(self._state.cache, mesh_plan.item_rows),
+                m1=jax.device_put(self._state.m1, mesh_plan.item_rows),
+                m2=jax.device_put(self._state.m2, mesh_plan.item_rows),
+            )
 
         self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
         S2, cv, cix = _prune_topk_device(jnp.asarray(self._S_best), int(self.topK), bool(self.symmetric))

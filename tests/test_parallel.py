@@ -183,10 +183,10 @@ def test_ganmf_fit_on_mesh(urm_pair):
     )
 
 
-@pytest.mark.parametrize("model_name", ["DisGANMF", "CFGAN", "CAAE", "IALS"])
+@pytest.mark.parametrize("model_name", ["DisGANMF", "CFGAN", "CAAE", "IALS", "SLIM", "MFBPR"])
 def test_trainer_mesh_plan_matches_single(urm_pair, model_name):
     """fit(mesh_plan=...) reproduces the single-device training math for
-    every adversarial trainer and IALS (SURVEY §2.9)."""
+    every adversarial trainer, IALS, SLIM-BPR and MF-SGD (SURVEY §2.9)."""
     train, test = urm_pair
     plan = make_mesh(n_data=2, n_model=2)
 
@@ -213,6 +213,18 @@ def test_trainer_mesh_plan_matches_single(urm_pair, model_name):
             m.fit(epochs=2, g_units=8, num_factors=4, d_bsize=64, m_batch=8,
                   mesh_plan=mesh_plan)
             return np.asarray(m.params.G.ws[0])
+        if model_name == "SLIM":
+            from ganmf_tpu.models import SLIM_BPR
+
+            m = SLIM_BPR(train)
+            m.fit(epochs=2, topK=10, learning_rate=0.05, mesh_plan=mesh_plan)
+            return m.W_sparse.toarray()
+        if model_name == "MFBPR":
+            from ganmf_tpu.models import MatrixFactorization_BPR
+
+            m = MatrixFactorization_BPR(train)
+            m.fit(epochs=2, num_factors=4, batch_size=32, mesh_plan=mesh_plan)
+            return np.asarray(m.USER_factors)
         from ganmf_tpu.models import IALSRecommender
 
         m = IALSRecommender(train)
