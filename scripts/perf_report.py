@@ -109,6 +109,9 @@ def roofline(name, seconds):
         return _flops_str(2 * U * I * I, seconds)
     if name.startswith("EASE-R["):
         return _flops_str(2 * U * I * I + I**3 // 3 + 2 * I**3, seconds)
+    if "similarity-family" in name:
+        # matmul-bound: URM rows x dense [I, I] W at HIGHEST precision
+        return _flops_str(2 * U * I * I, seconds)
     if name.startswith("Eval["):
         # ranking-bound: model scores + masks stream through VMEM/HBM
         return _bytes_str(2 * U * I * 4, seconds)
@@ -241,6 +244,17 @@ def main(datasets=("1M", "LastFM")):
         n_users = len(ev.usersToEvaluate)
         record(f"Eval[{ds}] {n_users} users x 4 cutoffs", t,
                f"{n_users/t:,.0f} users/s (ref ~686 users/s on ML-1M)")
+
+        # similarity-family models route through the fused matmul+top_k+probe
+        # path (ops/pallas_scorer.masked_topk_matmul)
+        knn_ev = ItemKNNCFRecommender(train)
+        knn_ev.fit(topK=300, shrink=0)
+        ev_knn = EvaluatorHoldout(splits.test, [5, 10, 20, 50])
+        assert ev_knn._can_fuse_sim(knn_ev)
+        ev_knn.evaluateRecommender(knn_ev)  # compile
+        t = timeit(lambda: ev_knn.evaluateRecommender(knn_ev), n=3)
+        record(f"Eval[{ds}] similarity-family (ItemKNN) {n_users} users", t,
+               f"{n_users/t:,.0f} users/s")
 
     _write(rows)
     print("wrote PERF.md")
