@@ -317,14 +317,15 @@ class _BaseEvaluator:
         urm_train = recommender_object.get_URM_train()
         # novelty/popularity depend only on the training URM: cache the host
         # pass and the device transfer across repeated evaluations (the
-        # early-stopping loop evaluates every `freq` epochs)
-        cache_key = id(urm_train)
-        if getattr(self, "_nov_pop_key", None) != cache_key:
+        # early-stopping loop evaluates every `freq` epochs). The cache holds
+        # a strong reference to the keyed matrix so an `is` hit can never be
+        # a recycled id from a freed object.
+        if getattr(self, "_nov_pop_key", None) is not urm_train:
             self._nov_pop = (
                 jnp.asarray(item_novelty_terms(urm_train, self.n_items), dtype=jnp.float32),
                 jnp.asarray(normalized_popularity(urm_train), dtype=jnp.float32),
             )
-            self._nov_pop_key = cache_key
+            self._nov_pop_key = urm_train
         novelty_terms, pop_norm = self._nov_pop
 
         # Cap at 4096 rows (score block [B, I] stays ~100s of MB at the
