@@ -105,6 +105,11 @@ def main() -> None:
         DeterministicScorer()
     )
 
+    # -- distributed blocked Cholesky across the process boundary --------------
+    from ganmf_tpu.ops.distchol import ease_r_topk_sharded
+
+    ev_vals, ev_idx = ease_r_topk_sharded(jnp.asarray(dense), 5.0, k=4, plan=plan, panel=8)
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "dloss": float(dloss),
@@ -113,6 +118,8 @@ def main() -> None:
         "MAP": results[5]["MAP"],
         "NDCG": results[5]["NDCG"],
         "PRECISION": results[5]["PRECISION"],
+        "ease_sum": float(jnp.sum(ev_vals)),
+        "ease_idx_sum": int(jnp.sum(ev_idx)),
     }), flush=True)
 
     comm.shutdown()

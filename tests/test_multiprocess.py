@@ -71,10 +71,15 @@ def _single_process_expected():
     results, _ = EvaluatorHoldout(test, [5], mesh_plan=plan).evaluateRecommender(
         DeterministicScorer()
     )
+
+    from ganmf_tpu.ops.distchol import ease_r_topk_sharded
+
+    ev_vals, ev_idx = ease_r_topk_sharded(jnp.asarray(dense), 5.0, k=4, plan=plan, panel=8)
     return {
         "dloss": float(dloss), "gloss": float(gloss), "checksum": checksum,
         "MAP": results[5]["MAP"], "NDCG": results[5]["NDCG"],
         "PRECISION": results[5]["PRECISION"],
+        "ease_sum": float(jnp.sum(ev_vals)), "ease_idx_sum": int(jnp.sum(ev_idx)),
     }
 
 
@@ -98,12 +103,14 @@ def test_two_process_mesh_matches_single_process():
         outs.append(json.loads(line[0][len("RESULT "):]))
 
     # both processes computed the same replicated values
-    for key in ("dloss", "gloss", "checksum", "MAP", "NDCG", "PRECISION"):
+    for key in ("dloss", "gloss", "checksum", "MAP", "NDCG", "PRECISION",
+                "ease_sum", "ease_idx_sum"):
         assert outs[0][key] == pytest.approx(outs[1][key], rel=1e-6), key
 
     # and they match the single-process computation
     expected = _single_process_expected()
     for key in ("dloss", "gloss", "checksum"):
         assert outs[0][key] == pytest.approx(expected[key], rel=1e-4, abs=1e-6), key
-    for key in ("MAP", "NDCG", "PRECISION"):
-        assert outs[0][key] == pytest.approx(expected[key], rel=1e-6), key
+    for key in ("MAP", "NDCG", "PRECISION", "ease_sum"):
+        assert outs[0][key] == pytest.approx(expected[key], rel=1e-5), key
+    assert outs[0]["ease_idx_sum"] == expected["ease_idx_sum"]
