@@ -274,8 +274,11 @@ class _BaseEvaluator:
         ):
             return False
         if isinstance(model, (ItemSimilarityRecommender, UserSimilarityRecommender)):
+            # check the device-authoritative W first: touching the W_sparse
+            # property on such models would materialize the full [I, I]
+            # matrix on host just to decide fusibility
             dev_w = getattr(model, "_device_w", None)
-            if getattr(model, "W_sparse", None) is None and (dev_w is None or dev_w is False):
+            if (dev_w is None or dev_w is False) and getattr(model, "W_sparse", None) is None:
                 return False
             return model._w_device() is not False
         return False
@@ -317,15 +320,19 @@ class _BaseEvaluator:
         urm_train = recommender_object.get_URM_train()
         # novelty/popularity depend only on the training URM: cache the host
         # pass and the device transfer across repeated evaluations (the
-        # early-stopping loop evaluates every `freq` epochs). The cache holds
-        # a strong reference to the keyed matrix so an `is` hit can never be
-        # a recycled id from a freed object.
-        if getattr(self, "_nov_pop_key", None) is not urm_train:
+        # early-stopping loop evaluates every `freq` epochs). get_URM_train()
+        # returns a fresh copy per call, so key on the recommender's stable
+        # URM_train attribute where it exists; the strong reference makes
+        # the identity check sound (no recycled-id false hits).
+        key_obj = getattr(recommender_object, "URM_train", None)
+        if key_obj is None:
+            key_obj = urm_train
+        if getattr(self, "_nov_pop_key", None) is not key_obj:
             self._nov_pop = (
                 jnp.asarray(item_novelty_terms(urm_train, self.n_items), dtype=jnp.float32),
                 jnp.asarray(normalized_popularity(urm_train), dtype=jnp.float32),
             )
-            self._nov_pop_key = urm_train
+            self._nov_pop_key = key_obj
         novelty_terms, pop_norm = self._nov_pop
 
         # Cap at 4096 rows (score block [B, I] stays ~100s of MB at the

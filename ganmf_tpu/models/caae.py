@@ -426,6 +426,8 @@ class CAAE(AdversarialRecommender):
         mesh_plan=None,
         d_scatter: str = "direct",
     ):
+        if d_scatter not in ("direct", "dedup"):
+            raise ValueError(f"d_scatter must be 'direct' or 'dedup', got {d_scatter!r}")
         self.config = dict(
             epochs=epochs, d_steps=d_steps, g_steps=g_steps, gpr_steps=gpr_steps,
             g_layers=g_layers, g_units=g_units, gpr_layers=gpr_layers, gpr_units=gpr_units,

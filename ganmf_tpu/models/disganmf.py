@@ -94,8 +94,21 @@ def _d_params(p):
 
 
 def _discriminate(p: DisGANMFParams, uids, x, act):
-    h = jnp.concatenate([uids[:, None].astype(x.dtype), x], axis=1)
-    for w, b in zip(p.d_ws, p.d_bs):
+    if x.dtype == jnp.bfloat16:
+        # the conditioning column is the RAW user id (DisGANMF.py:110-111);
+        # bf16's 8-bit mantissa would collapse ~16-32 adjacent ids into one
+        # value — and the id signal is a ~1e-4 relative perturbation of the
+        # activations, below bf16 resolution. So only the [B, I] profile
+        # matmul (the actual bandwidth/FLOP cost) runs bf16; the rank-1 id
+        # contribution and every downstream [B, nodes]-sized layer stay f32.
+        w0, b0 = p.d_ws[0], p.d_bs[0]
+        id_part = uids[:, None].astype(jnp.float32) * w0[0:1, :].astype(jnp.float32)
+        h = act(jnp.dot(x, w0[1:, :]).astype(jnp.float32) + id_part + b0.astype(jnp.float32))
+        layers = zip(p.d_ws[1:], p.d_bs[1:])
+    else:
+        h = jnp.concatenate([uids[:, None].astype(x.dtype), x], axis=1)
+        layers = zip(p.d_ws, p.d_bs)
+    for w, b in layers:
         h = act(jnp.dot(h, w) + b)
     features = h
     out = jnp.dot(h, p.out_w) + p.out_b

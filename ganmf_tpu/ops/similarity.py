@@ -194,8 +194,9 @@ def _similarity_topk_sharded(
     Ap = jnp.pad(A, ((0, 0), (0, pad))) if pad else A
     width = (n_cols + pad) // n_shards
 
-    def local(A_full, A_blk, rw):
+    def local(A_full, rw):
         off = jax.lax.axis_index(MODEL_AXIS) * width
+        A_blk = jax.lax.dynamic_slice(A_full, (0, off), (A_full.shape[0], width))
         ss2_cand = jnp.sum(A_full * A_full, axis=0)
         ss2_targ = jnp.sum(A_blk * A_blk, axis=0)
         if use_row_weights and mode != "euclidean":
@@ -207,24 +208,30 @@ def _similarity_topk_sharded(
             asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
             distance_mode, use_row_weights,
         )
-        # padded candidate columns would rank as spurious zero-distance
-        # neighbours under the euclidean inversion; mask them out
+        # padded candidate columns must never be selected: -inf (not 0)
+        # so they also rank below genuine negative similarities, exactly
+        # like the single-device build where they don't exist at all
         if pad:
             cand = jnp.arange(A_full.shape[1])
-            W = jnp.where((cand >= n_cols)[:, None], 0.0, W)
+            W = jnp.where((cand >= n_cols)[:, None], -jnp.inf, W)
         vals, idx = tiled_topk(W.T, topk)  # [width, k] per shard
-        return vals, idx
+        return jnp.where(jnp.isfinite(vals), vals, 0.0), idx
 
     fn = jax.jit(
         shard_map(
             local,
             mesh=plan.mesh,
-            in_specs=(P(None, None), P(None, MODEL_AXIS), P(None)),
+            in_specs=(P(None, None), P(None)),
             out_specs=(P(MODEL_AXIS, None), P(MODEL_AXIS, None)),
             check_vma=False,
         )
     )
-    vals, idx = fn(Ap, Ap, row_weights)
+    if use_row_weights and mode == "euclidean":
+        # euclidean weights index the candidate (column) axis, which is
+        # padded here; compute_similarity has already validated
+        # n_rows == n_cols for this combination
+        row_weights = jnp.pad(row_weights, (0, max(0, Ap.shape[1] - row_weights.shape[0])))
+    vals, idx = fn(Ap, row_weights)
     return vals[:n_cols], idx[:n_cols]
 
 
@@ -259,6 +266,14 @@ def compute_similarity(
 
     X = sps.csr_matrix(data_matrix, dtype=np.float32).copy()
     n_rows, n_cols = X.shape
+    if row_weights is not None and similarity == "euclidean" and n_rows != n_cols:
+        # the reference's euclidean row-weighting multiplies per-candidate
+        # distances by per-row weights and only type-checks when the matrix
+        # is square (Compute_Similarity_Euclidean.py:181); fail loudly
+        # rather than silently truncating the weight vector
+        raise ValueError(
+            f"euclidean row_weights requires a square matrix, got {X.shape}"
+        )
     topK = min(topK, n_cols)
 
     # preprocessing (Compute_Similarity_Python.py:117-204)

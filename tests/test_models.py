@@ -315,6 +315,31 @@ def test_adversarial_bf16_compute_dtype(urm_pair, model_name):
     assert np.isfinite(res[5]["MAP"])
 
 
+def test_disganmf_bf16_keeps_user_ids_distinct():
+    """The raw-user-id conditioning column must not be quantized by bf16:
+    ids 4097 and 4099 collapse to the same bfloat16 value, but the
+    discriminator must still tell them apart (f32 rank-1 id path)."""
+    from ganmf_tpu.models.disganmf import ACTIVATIONS, DisGANMFParams, _discriminate
+
+    rng = np.random.RandomState(0)
+    I, H = 12, 6
+    p = DisGANMFParams(
+        user_emb=jnp.zeros((1, 2)), item_emb=jnp.zeros((I, 2)),
+        d_ws=(jnp.asarray(rng.randn(I + 1, H), jnp.float32),),
+        d_bs=(jnp.zeros((H,), jnp.float32),),
+        out_w=jnp.asarray(rng.randn(H, 1), jnp.float32),
+        out_b=jnp.zeros((1,), jnp.float32),
+    )
+    x = jnp.asarray(rng.rand(2, I), jnp.float32)
+    x = jnp.stack([x[0], x[0]])  # identical profiles, different ids
+    uids = jnp.asarray([4097, 4099], jnp.int32)
+    assert jnp.asarray(4097, jnp.bfloat16) == jnp.asarray(4099, jnp.bfloat16)
+
+    pc = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), p)
+    _, out = _discriminate(pc, uids, x.astype(jnp.bfloat16), ACTIVATIONS["linear"])
+    assert float(out[0, 0]) != float(out[1, 0])
+
+
 def test_caae_cdf_sampler_distribution():
     """The inverse-CDF binary-search sampler draws from the exact softmax
     distribution (reference cython_utils.pyx:74-104 semantics)."""

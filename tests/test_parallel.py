@@ -312,6 +312,26 @@ def test_sharded_similarity_build_with_padding(urm_pair):
     _assert_same_sparse(got, base)
 
 
+def test_sharded_similarity_negative_values_with_padding():
+    """Pearson mean-centering of RATED data produces negative similarities;
+    padded candidate columns must rank below them (-inf mask), not above
+    (0.0), or the sharded build silently drops real negative neighbours."""
+    import scipy.sparse as sps
+
+    from ganmf_tpu.ops.similarity import compute_similarity
+
+    rng = np.random.RandomState(3)
+    dense = (rng.rand(40, 80) < 0.3) * rng.randint(1, 6, (40, 80))
+    train = sps.csr_matrix(dense.astype(np.float32))
+    # topK near the catalog size so the per-column selection reaches down
+    # into the negative similarities where the padded candidates compete
+    base = compute_similarity(train, similarity="pearson", topK=79, shrink=0.0)
+    assert (base.data < 0).any()  # the scenario is actually exercised
+    plan = make_mesh(n_data=1, n_model=7)  # 80 cols -> 4 padded candidates
+    got = compute_similarity(train, similarity="pearson", topK=79, shrink=0.0, mesh_plan=plan)
+    _assert_same_sparse(got, base)
+
+
 def test_itemknn_and_easer_fit_on_mesh(urm_pair):
     """End-to-end: ItemKNN-cosine and EASE-R fits accept mesh_plan and match
     the single-device models."""
