@@ -414,3 +414,24 @@ def test_distributed_cholesky_and_solves():
     np.testing.assert_allclose(np.asarray(Ll), L_ref, rtol=2e-4, atol=2e-4)
     X_ref = np.linalg.solve(G, R)
     np.testing.assert_allclose(np.asarray(X), X_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_easer_mesh_with_padding():
+    """Catalog size that does not divide n_shards * panel exercises the
+    padded rows/columns of the distributed EASE-R build (the lambda*I
+    padding block must factor independently and never reach the top-K)."""
+    import scipy.sparse as sps
+
+    from ganmf_tpu.models.extras import EASE_R_Recommender
+
+    rng = np.random.RandomState(11)
+    train = sps.csr_matrix((rng.rand(40, 70) < 0.25).astype(np.float32))
+    plan = make_mesh(n_data=1, n_model=8)  # 70 -> padded to 72
+
+    be = EASE_R_Recommender(train)
+    be.fit(topK=10, l2_norm=50.0)
+    se = EASE_R_Recommender(train)
+    se.fit(topK=10, l2_norm=50.0, mesh_plan=plan)
+    np.testing.assert_allclose(
+        se.W_sparse.toarray(), be.W_sparse.toarray(), rtol=1e-4, atol=1e-6
+    )
