@@ -169,6 +169,11 @@ def main(datasets=("1M", "LastFM")):
         record(f"GANMF[{ds}] steady epoch (K=250, b=64)", t,
                "ref ~3.64 s/epoch (ML-1M GPU)" if ds == "1M" else "")
 
+        t = epoch_time(lambda: GANMF(train, mode="user", seed=1337, is_experiment=True),
+                       dict(cfg, compute_dtype="bf16"))
+        record(f"GANMF[{ds}] steady epoch (K=250, b=64, bf16)", t,
+               "f32 master params; parity receipts in PARITY_SEEDS.md")
+
         t = epoch_time(lambda: DisGANMF(train, mode="user", seed=1, is_experiment=True),
                        dict(num_factors=64, d_nodes=256, batch_size=128))
         record(f"DisGANMF[{ds}] steady epoch", t)
