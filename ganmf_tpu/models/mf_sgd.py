@@ -30,7 +30,29 @@ class _MFState(NamedTuple):
     cacheV: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk", "algorithm", "use_adagrad", "use_bias"))
+def _draw_samples(urm, warm_users, profile_pad, profile_len, key, shape, with_neg):
+    """(u, i, r_ui[, j-]) SGD samples of the given leading shape, drawn from
+    the epoch-constant tables in one vectorized pass."""
+    n_items = urm.shape[1]
+    k_u, k_p, k_n = jax.random.split(key, 3)
+    u = jnp.take(warm_users, jax.random.randint(k_u, shape, 0, warm_users.shape[0]))
+    lens = jnp.take(profile_len, u)
+    slot = jax.random.randint(k_p, shape, 0, jnp.iinfo(jnp.int32).max) % lens
+    i = profile_pad[u, slot]
+    r_ui = urm[u, i]
+    if not with_neg:
+        return u, i, r_ui, jnp.zeros_like(u)
+    cand = jax.random.randint(k_n, shape + (8,), 0, n_items)
+    seen = urm[u[..., None], cand] != 0
+    first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=-1)
+    j = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    return u, i, r_ui, j
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_chunks", "chunk", "algorithm", "use_adagrad", "use_bias", "presample"),
+)
 def _mf_epoch(
     state: _MFState,
     urm: jnp.ndarray,  # [U, I] dense ratings
@@ -47,24 +69,21 @@ def _mf_epoch(
     algorithm: str,
     use_adagrad: bool,
     use_bias: bool,
+    presample: bool = False,
 ):
-    n_items = urm.shape[1]
-
-    def body(state: _MFState, key):
-        k_u, k_p, k_n = jax.random.split(key, 3)
-        u = jnp.take(warm_users, jax.random.randint(k_u, (chunk,), 0, warm_users.shape[0]))
-        lens = jnp.take(profile_len, u)
-        slot = jax.random.randint(k_p, (chunk,), 0, jnp.iinfo(jnp.int32).max) % lens
-        i = profile_pad[u, slot]
-        r_ui = urm[u, i]
+    def body(state: _MFState, xs):
+        if presample:
+            u, i, r_ui, j = xs
+        else:
+            u, i, r_ui, j = _draw_samples(
+                urm, warm_users, profile_pad, profile_len, xs, (chunk,),
+                with_neg=algorithm == "bpr",
+            )
 
         Uu = jnp.take(state.U, u, axis=0)  # [C, K]
         Vi = jnp.take(state.V, i, axis=0)
 
         if algorithm == "bpr":
-            cand = jax.random.randint(k_n, (chunk, 8), 0, n_items)
-            seen = urm[u[:, None], cand] != 0
-            j = cand[jnp.arange(chunk), jnp.argmax(jnp.where(seen, 0, 1), axis=1)]
             Vj = jnp.take(state.V, j, axis=0)
             x_uij = jnp.sum(Uu * (Vi - Vj), axis=1)
             g = 1.0 / (1.0 + jnp.exp(x_uij))  # sigmoid gradient
@@ -79,7 +98,6 @@ def _mf_epoch(
             dU = err[:, None] * Vi - user_reg * Uu
             dVi = err[:, None] * Uu - item_reg * Vi
             dVj = None
-            j = None
 
         if use_adagrad:
             cu = state.cacheU.at[u].add(jnp.mean(dU**2, axis=1))
@@ -102,7 +120,16 @@ def _mf_epoch(
 
         return _MFState(U, V, bU, bV, cu, cv), None
 
-    state, _ = jax.lax.scan(body, state, jax.random.split(key, n_chunks))
+    if presample:
+        # epoch-constant sampling tables: draw every chunk's samples in one
+        # vectorized pass outside the serialized scan
+        xs = _draw_samples(
+            urm, warm_users, profile_pad, profile_len, key, (n_chunks, chunk),
+            with_neg=algorithm == "bpr",
+        )
+    else:
+        xs = jax.random.split(key, n_chunks)
+    state, _ = jax.lax.scan(body, state, xs)
     return state
 
 
@@ -124,8 +151,10 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         batch_size: int = 256,
         samples_per_epoch: int = None,
         mesh_plan=None,
+        presample: bool = False,
         **earlystopping_kwargs,
     ):
+        self._presample = bool(presample)
         rng = np.random.RandomState(random_seed)
         K = int(num_factors)
         self.num_factors = K
@@ -189,6 +218,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             self._lr, *self._regs,
             n_chunks=self._n_chunks, chunk=self._chunk,
             algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self.USE_BIAS,
+            presample=self._presample,
         )
 
     # -- crash resume (optimizer state + sampling key) --------------------------

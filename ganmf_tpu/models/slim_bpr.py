@@ -35,9 +35,26 @@ class _OptState(NamedTuple):
     beta2_t: jnp.ndarray
 
 
+def _draw_triples(urm, warm_users, profile_pad, profile_len, key, shape):
+    """(u, i+, j-) BPR samples of the given leading shape, all drawn from
+    the epoch-constant tables in one vectorized pass."""
+    n_items = urm.shape[1]
+    k_u, k_p, k_n = jax.random.split(key, 3)
+    u = jnp.take(warm_users, jax.random.randint(k_u, shape, 0, warm_users.shape[0]))
+    lens = jnp.take(profile_len, u)
+    pos_slot = jax.random.randint(k_p, shape, 0, jnp.iinfo(jnp.int32).max) % lens
+    i = profile_pad[u, pos_slot]
+    # negative sampling: draw 8 uniform candidates, take the first unseen
+    cand = jax.random.randint(k_n, shape + (8,), 0, n_items)
+    seen = urm[u[..., None], cand] != 0
+    first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=-1)  # 0 if all seen
+    j = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    return u, i, j
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_chunks", "chunk", "sgd_mode", "symmetric"),
+    static_argnames=("n_chunks", "chunk", "sgd_mode", "symmetric", "presample"),
 )
 def _bpr_epoch(
     state: _OptState,
@@ -56,21 +73,15 @@ def _bpr_epoch(
     chunk: int,
     sgd_mode: str,
     symmetric: bool,
+    presample: bool = False,
 ):
     n_items = urm.shape[1]
 
-    def body(state: _OptState, key):
-        k_u, k_p, k_n = jax.random.split(key, 3)
-        u = jnp.take(warm_users, jax.random.randint(k_u, (chunk,), 0, warm_users.shape[0]))
-        lens = jnp.take(profile_len, u)
-        pos_slot = jax.random.randint(k_p, (chunk,), 0, jnp.iinfo(jnp.int32).max) % lens
-        i = profile_pad[u, pos_slot]
-
-        # negative sampling: draw 8 uniform candidates, take the first unseen
-        cand = jax.random.randint(k_n, (chunk, 8), 0, n_items)
-        seen = urm[u[:, None], cand] != 0
-        first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=1)  # 0 if all seen
-        j = cand[jnp.arange(chunk), first_ok]
+    def body(state: _OptState, xs):
+        if presample:
+            u, i, j = xs
+        else:
+            u, i, j = _draw_triples(urm, warm_users, profile_pad, profile_len, xs, (chunk,))
 
         P = jnp.take(urm, u, axis=0)  # [C, I] seen mask
         if symmetric:
@@ -120,8 +131,16 @@ def _bpr_epoch(
         W = state.W.at[i].add(delta_i).at[j].add(delta_j)
         return _OptState(W, new_cache, m1, m2, b1t, b2t), None
 
-    keys = jax.random.split(key, n_chunks)
-    state, _ = jax.lax.scan(body, state, keys)
+    if presample:
+        # the sampling tables are epoch-constant, so ALL (u, i+, j-)
+        # triples are drawn in one vectorized pass outside the serialized
+        # scan (the transform that sped up CAAE's D phase)
+        xs = _draw_triples(
+            urm, warm_users, profile_pad, profile_len, key, (n_chunks, chunk)
+        )
+    else:
+        xs = jax.random.split(key, n_chunks)
+    state, _ = jax.lax.scan(body, state, xs)
     return state
 
 
@@ -171,8 +190,10 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
         beta_2: float = 0.999,
         chunk_size: int = 64,
         mesh_plan=None,
+        presample: bool = False,
         **earlystopping_kwargs,
     ):
+        self._presample = bool(presample)
         self.symmetric = symmetric
         self.topK = topK
         self.sgd_mode = sgd_mode
@@ -256,6 +277,7 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
             chunk=self._chunk,
             sgd_mode=self.sgd_mode,
             symmetric=self.symmetric,
+            presample=self._presample,
         )
 
     @staticmethod

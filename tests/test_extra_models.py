@@ -109,3 +109,24 @@ def test_ease_r_topk_device_prune_matches_host(urm_pair):
     want = sps.csr_matrix(similarity_matrix_topk(B, k=5))
     got = model.W_sparse
     assert (got != want).nnz == 0 or np.allclose(got.toarray(), want.toarray(), atol=1e-5)
+
+
+def test_presample_trains_and_is_deterministic(urm_pair):
+    """presample=True (sampling hoisted out of the serialized scan) trains
+    both SGD families; same seed + flag reproduces the same result."""
+    from ganmf_tpu.models import SLIM_BPR, MatrixFactorization_BPR
+
+    train, _ = urm_pair
+    a = SLIM_BPR(train)
+    a.fit(epochs=2, topK=10, learning_rate=0.05, presample=True)
+    b = SLIM_BPR(train)
+    b.fit(epochs=2, topK=10, learning_rate=0.05, presample=True)
+    assert (a.W_sparse != b.W_sparse).nnz == 0
+    assert a.W_sparse.nnz > 0
+
+    m1 = MatrixFactorization_BPR(train)
+    m1.fit(epochs=2, num_factors=4, batch_size=32, presample=True)
+    m2 = MatrixFactorization_BPR(train)
+    m2.fit(epochs=2, num_factors=4, batch_size=32, presample=True)
+    np.testing.assert_array_equal(m1.USER_factors, m2.USER_factors)
+    assert np.isfinite(m1.USER_factors).all()
