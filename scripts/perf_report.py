@@ -294,7 +294,15 @@ def _write(rows):
         "| Benchmark | time | achieved (dominant-term roofline) | note |",
         "|---|---|---|---|",
     ]
-    for name, (seconds, note) in rows.items():
+
+    def ds_group(name):
+        for i, key in enumerate(("[1M]", "[LastFM]", "[hetrec2011]")):
+            if key in name:
+                return i
+        return 3
+
+    ordered = sorted(rows.items(), key=lambda kv: ds_group(kv[0]))  # stable
+    for name, (seconds, note) in ordered:
         lines.append(f"| {name} | {seconds*1e3:.1f} ms | {roofline(name, seconds)} | {note} |")
     lines += [
         "",
@@ -306,6 +314,13 @@ def _write(rows):
         "  regenerates this file from PERF.json.",
         "- bench.py reports the headline metric (GANMF ML-1M epoch,",
         "  sync-per-epoch protocol) vs the reference's ~3.64 s/epoch.",
+        "- bf16 epochs pay off where the item axis is wide enough for the",
+        "  epoch to be matmul-dominated (LastFM I=17.6k: 67.4 -> 54.8 ms;",
+        "  hetrec I=10.1k: 32.3 -> 26.4 ms) and wash out on ML-1M (I=3.7k),",
+        "  whose batches are too small for the MXU to be the bottleneck.",
+        "- Eval rows include one host->device dispatch round trip (~33 ms on",
+        "  the tunnel) per call; users/s on the small-user datasets is",
+        "  correspondingly understated vs directly-attached hardware.",
         "- The roofline column divides an analytic dominant-term work count",
         "  (forward matmul FLOPs x3 for trained passes; row-traffic bytes for",
         "  gather/scatter-bound programs — formulas in scripts/perf_report.py)",
