@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ganmf_tpu.data.device import PaddedCSR, padded_rows_dense
 from ganmf_tpu.models.gan_base import AdversarialRecommender, make_batches, padded_weights
 from ganmf_tpu.utils.debug import instrumented_jit
 
@@ -128,7 +129,8 @@ def cfgan_epoch(
     d_n_batches, d_batch, g_n_batches, g_batch, d_steps, g_steps,
     compute_dtype: str = "f32",
 ):
-    n_users, n_items = urm.shape
+    streamed = isinstance(urm, PaddedCSR)
+    n_items = params.G.bs[-1].shape[0]
     cd = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
 
     def cast(tree):
@@ -137,12 +139,55 @@ def cfgan_epoch(
         if cd == jnp.float32:
             return tree
         return jax.tree_util.tree_map(lambda t: t.astype(cd), tree)
-    zr_mask_full, pm_mask_full = sample_negative_masks(key, urm, zr_ratio, zp_ratio, scheme)
-    # train mask: profile with PM-sampled negatives flipped to 1 (CFGAN.py:242-249)
-    train_mask_full = jnp.clip(urm + pm_mask_full, 0.0, 1.0) if scheme in ("ZP", "PM") else urm
 
-    def slice_rows(mat, start, size):
-        return jax.lax.dynamic_slice_in_dim(mat, start, size, axis=0)
+    if streamed:
+        # padded-CSR storage: only O(nnz) lives in HBM. Masks are drawn per
+        # batch instead of as full [U, I] buffers; each user's draw is keyed
+        # by fold_in(epoch_key, user) so the D and G phases — whose batch
+        # grids differ — see the SAME per-epoch mask for a given user,
+        # preserving the reference's one-mask-per-epoch semantics
+        # (CFGAN.py:230). The RNG stream differs from the dense path's
+        # single full-matrix draw, so masked configs are distributionally
+        # (not bitwise) equivalent across storages; with no mask sampling
+        # (e.g. scheme="ZR", zr_ratio=0) the two storages match exactly.
+        k_zr_base, k_pm_base = jax.random.split(key)
+
+        def draw_rows(base_key, rows, interacted, n_zeros, ratio):
+            u01 = jax.vmap(
+                lambda u: jax.random.uniform(jax.random.fold_in(base_key, u), (n_items,))
+            )(rows)
+            keys = jnp.where(interacted, jnp.inf, u01)
+            ranks = jnp.argsort(jnp.argsort(keys, axis=1), axis=1)
+            k_u = (n_zeros * ratio).astype(jnp.int32)
+            return (ranks < k_u[:, None]).astype(cd)
+
+        def batch_inputs(start, size):
+            rows = start + jnp.arange(size, dtype=jnp.int32)
+            cond = padded_rows_dense(urm, rows, n_items)
+            interacted = cond != 0
+            n_zeros = jnp.sum(~interacted, axis=1)
+            zr = (
+                draw_rows(k_zr_base, rows, interacted, n_zeros, zr_ratio)
+                if scheme in ("ZP", "ZR")
+                else jnp.zeros_like(cond)
+            )
+            pm = (
+                draw_rows(k_pm_base, rows, interacted, n_zeros, zp_ratio)
+                if scheme in ("ZP", "PM")
+                else None
+            )
+            tmask = jnp.clip(cond + pm, 0.0, 1.0) if pm is not None else cond
+            return cond, tmask, zr
+    else:
+        zr_mask_full, pm_mask_full = sample_negative_masks(key, urm, zr_ratio, zp_ratio, scheme)
+        # train mask: profile with PM-sampled negatives flipped to 1 (CFGAN.py:242-249)
+        train_mask_full = jnp.clip(urm + pm_mask_full, 0.0, 1.0) if scheme in ("ZP", "PM") else urm
+
+        def batch_inputs(start, size):
+            cond = jax.lax.dynamic_slice_in_dim(urm, start, size, axis=0)
+            tmask = jax.lax.dynamic_slice_in_dim(train_mask_full, start, size, axis=0)
+            zmask = jax.lax.dynamic_slice_in_dim(zr_mask_full, start, size, axis=0)
+            return cond, tmask, zmask
 
     def d_loss_fn(d_p, g_p, cond, real, tmask, w):
         d_c, g_c = cast(d_p), cast(g_p)
@@ -163,8 +208,7 @@ def cfgan_epoch(
     def d_body(carry, step):
         p, state = carry
         b = (step % d_n_batches) * d_batch
-        cond = slice_rows(urm, b, d_batch)
-        tmask = slice_rows(train_mask_full, b, d_batch)
+        cond, tmask, _ = batch_inputs(b, d_batch)
         w = jax.lax.dynamic_slice_in_dim(d_weights, b, d_batch)
         grads = jax.grad(d_loss_fn)(p.D, p.G, cond, cond, tmask, w)
         updates, state = ADAM.update(grads, state, p.D)
@@ -174,9 +218,7 @@ def cfgan_epoch(
     def g_body(carry, step):
         p, state = carry
         b = (step % g_n_batches) * g_batch
-        cond = slice_rows(urm, b, g_batch)
-        tmask = slice_rows(train_mask_full, b, g_batch)
-        zmask = slice_rows(zr_mask_full, b, g_batch)
+        cond, tmask, zmask = batch_inputs(b, g_batch)
         w = jax.lax.dynamic_slice_in_dim(g_weights, b, g_batch)
         grads = jax.grad(g_loss_fn)(p.G, p.D, cond, tmask, zmask, w)
         updates, state = ADAM.update(grads, state, p.G)
@@ -220,8 +262,17 @@ class CFGAN(AdversarialRecommender):
         sample_every=None,
         validation_set=None,
         mesh_plan=None,
+        urm_storage: str = "dense",
         compute_dtype: str = "f32",
     ):
+        """``urm_storage``: "dense" keeps the [U, I] URM plus the per-epoch
+        ZR/PM mask buffers resident in HBM (the default). "csr" keeps only
+        padded-CSR arrays — O(nnz) — densifying each [B, I] minibatch and
+        drawing its masks on the fly inside the epoch scan (per-user folded
+        keys keep one mask per user per epoch across the D and G phases);
+        use for datasets whose dense matrix would exceed HBM. Masked
+        configs are distributionally (not bitwise) equivalent between the
+        two storages; unmasked ones match exactly."""
         # ratios are fractions in [0, 1]; the root search space's {10..90}
         # integers (RecSysExp.py:480-481) are percentage points — normalize.
         if zr_ratio > 1:
@@ -237,15 +288,29 @@ class CFGAN(AdversarialRecommender):
             zr_ratio=zr_ratio, zp_ratio=zp_ratio, zr_coefficient=zr_coefficient,
         )
 
-        urm_np = np.asarray(self._train_matrix().todense(), dtype=np.float32)
-        n_rows, n_cols = urm_np.shape
+        train_csr = self._train_matrix()
+        n_rows, n_cols = train_csr.shape
 
         d_n_batches, d_padded = make_batches(n_rows, int(d_batch_size))
         g_n_batches, g_padded = make_batches(n_rows, int(g_batch_size))
         padded = max(d_padded, g_padded)
-        urm = jnp.asarray(np.pad(urm_np, ((0, padded - n_rows), (0, 0))))
-        if compute_dtype == "bf16":
-            urm = urm.astype(jnp.bfloat16)  # masks/condition inherit bf16
+        self._stream_seen = urm_storage == "csr"
+        if urm_storage == "csr":
+            from ganmf_tpu.data.device import padded_csr_from_sparse
+
+            urm = padded_csr_from_sparse(train_csr)
+            if compute_dtype == "bf16":
+                urm = urm._replace(val=urm.val.astype(jnp.bfloat16))
+            # batch row ids past n_rows-1 clamp to the last stored row on
+            # gather; their padded weights are 0 so they contribute nothing
+        elif urm_storage == "dense":
+            urm_np = np.asarray(train_csr.todense(), dtype=np.float32)
+            urm = jnp.asarray(np.pad(urm_np, ((0, padded - n_rows), (0, 0))))
+            if compute_dtype == "bf16":
+                urm = urm.astype(jnp.bfloat16)  # masks/condition inherit bf16
+        else:
+            raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
+        self._train_padded = urm if self._stream_seen else None
         d_weights = jnp.asarray(padded_weights(n_rows, padded))
         g_weights = d_weights
 
@@ -257,10 +322,14 @@ class CFGAN(AdversarialRecommender):
         self._g_hidden_act = g_hidden_act
 
         if mesh_plan is not None:
-            from ganmf_tpu.parallel.distributed import shard_cfgan_params
+            from ganmf_tpu.parallel.distributed import shard_cfgan_params, shard_padded_csr
 
             self.params = shard_cfgan_params(self.params, mesh_plan)
-            urm = jax.device_put(urm, mesh_plan.urm)
+            if self._stream_seen:
+                urm = shard_padded_csr(urm, mesh_plan)
+                self._train_padded = urm
+            else:
+                urm = jax.device_put(urm, mesh_plan.urm)
 
         self._d_state = ADAM.init(self.params.D)
         self._g_state = ADAM.init(self.params.G)
@@ -317,6 +386,24 @@ class CFGAN(AdversarialRecommender):
         return self._score_cache
 
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
+        if getattr(self, "_stream_seen", False) and getattr(self, "_train_padded", None) is not None:
+            pc = self._train_padded
+            n_cols = self.params.G.bs[-1].shape[0]
+            if self.mode != "item":
+                cond = padded_rows_dense(pc, jnp.asarray(user_ids), n_cols)
+                return _mlp(self.params.G, cond.astype(jnp.float32), self._g_hidden_act)
+            # item mode scores all training rows (= items) and serves the
+            # requested users as columns; stream row chunks so no [I, U]
+            # buffer materializes (csr storage exists to avoid exactly that)
+            n_rows = pc.idx.shape[0]
+            uid = jnp.asarray(user_ids)
+            chunk = 2048
+            cols = []
+            for s in range(0, n_rows, chunk):
+                rows = jnp.arange(s, min(s + chunk, n_rows), dtype=jnp.int32)
+                cond = padded_rows_dense(pc, rows, n_cols).astype(jnp.float32)
+                cols.append(jnp.take(_mlp(self.params.G, cond, self._g_hidden_act), uid, axis=1))
+            return jnp.concatenate(cols, axis=0).T
         out = self._full_generator_output()
         if self.mode == "item":
             return jnp.take(out.T, user_ids, axis=0)

@@ -4,7 +4,7 @@ with the reference's committed best hyperparameters, evaluate at the
 reference protocol, and diff every metric against the published
 test_results.txt numbers.
 
-Usage: python scripts/parity_check.py [toppop|puresvd|itemknn|ganmf|all]
+Usage: python scripts/parity_check.py [toppop|puresvd|itemknn|ganmf|cfgan|all]
 Runs on whatever jax backend is available (TPU when present).
 """
 
@@ -19,7 +19,7 @@ import numpy as np
 
 from ganmf_tpu.data import load_reference_splits
 from ganmf_tpu.eval import EvaluatorHoldout
-from ganmf_tpu.models import GANMF, ItemKNNCFRecommender, PureSVDRecommender, TopPop
+from ganmf_tpu.models import CFGAN, GANMF, ItemKNNCFRecommender, PureSVDRecommender, TopPop
 from ganmf_tpu.utils.seeding import set_seed
 
 # published CUTOFF: 20 rows (test_results/<dir>/test_results.txt)
@@ -28,6 +28,9 @@ BASELINE_LASTFM = {
     "puresvd": {"MAP": 0.1063839, "NDCG": 0.2145046, "PRECISION": 0.1052282, "RECALL": 0.2122997},
     "itemknn": {"MAP": 0.1276855, "NDCG": 0.2566179, "PRECISION": 0.1252919, "RECALL": 0.2539871},
     "ganmf": {"MAP": 0.1402326, "NDCG": 0.2741708},
+    # GAN seed noise on this config spans MAP ~0.11-0.13 (PARITY_SEEDS.md);
+    # the published number sits below our measured range
+    "cfgan": {"MAP": 0.1079119, "NDCG": 0.2338270},
 }
 
 BEST_PARAMS = {
@@ -38,6 +41,16 @@ BEST_PARAMS = {
         "d_lr": 0.00011007144484547656, "g_lr": 0.00440884635310339,
         "d_reg": 8.597967674039093e-06, "recon_coefficient": 0.3365661084745858,
         "emb_dim": 398,
+    },
+    # experiments/CFGAN_user_LastFM/best_params.pkl
+    "cfgan": {
+        "epochs": 46, "d_steps": 1, "g_steps": 1, "d_layers": 5, "g_layers": 1,
+        "d_hidden_act": "linear", "g_hidden_act": "tanh", "scheme": "ZR",
+        "d_batch_size": 128, "g_batch_size": 1024,
+        "zr_ratio": 0.4515475140394092, "zp_ratio": 1.0,
+        "zr_coefficient": 0.05049684341469494,
+        "d_lr": 0.0001, "g_lr": 0.00018640602403973558,
+        "d_reg": 0.0001, "g_reg": 0.0001, "d_nodes": 4, "g_nodes": 1024,
     },
 }
 
@@ -60,6 +73,9 @@ def run(which: str):
     elif which == "ganmf":
         model = GANMF(splits.train, mode="user", seed=1337, is_experiment=True)
         model.fit(**BEST_PARAMS["ganmf"])
+    elif which == "cfgan":
+        model = CFGAN(splits.train, mode="user", seed=1337, is_experiment=True)
+        model.fit(**BEST_PARAMS["cfgan"])
     else:
         raise SystemExit(f"unknown target {which}")
     train_s = time.time() - t0

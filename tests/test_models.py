@@ -418,3 +418,63 @@ def test_userknn_device_scoring_matches_host(urm_pair):
     got = np.asarray(uk.score_device(uids))
     want = uk.W_sparse[np.asarray(uids)].dot(train).toarray().astype(np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cfgan_streamed_urm(urm_pair):
+    """CFGAN urm_storage='csr': with no mask sampling the streamed run
+    reproduces the dense run exactly; with ZP masks it is deterministic and
+    trains to finite metrics (the mask RNG stream differs from the dense
+    path by construction — per-user folded keys vs one full-matrix draw)."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import CFGAN
+
+    train, test = urm_pair
+    nomask = dict(d_nodes=8, g_nodes=8, scheme="ZR", zr_ratio=0.0,
+                  zr_coefficient=0.0, epochs=3, d_batch_size=16, g_batch_size=16,
+                  allow_worse=None, freq=None)
+
+    dense = CFGAN(train, seed=7)
+    dense.fit(**nomask)
+    streamed = CFGAN(train, seed=7)
+    streamed.fit(urm_storage="csr", **nomask)
+    for got, want in zip(
+        jax.tree_util.tree_leaves(streamed.params), jax.tree_util.tree_leaves(dense.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-7)
+    ev = EvaluatorHoldout(test, [5])
+    res_d, _ = ev.evaluateRecommender(dense)
+    res_s, _ = ev.evaluateRecommender(streamed)
+    assert res_s[5]["MAP"] == pytest.approx(res_d[5]["MAP"], abs=1e-9)
+
+    masked = dict(d_nodes=8, g_nodes=8, scheme="ZP", zr_ratio=0.3, zp_ratio=0.3,
+                  zr_coefficient=0.1, epochs=3, d_batch_size=16, g_batch_size=16,
+                  allow_worse=None, freq=None)
+    a = CFGAN(train, seed=11)
+    a.fit(urm_storage="csr", **masked)
+    b = CFGAN(train, seed=11)
+    b.fit(urm_storage="csr", **masked)
+    for ga, gb in zip(jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    res, _ = ev.evaluateRecommender(a)
+    assert np.isfinite(res[5]["MAP"])
+
+
+def test_cfgan_streamed_item_mode(urm_pair):
+    """Streamed CFGAN in item mode serves via chunked generator columns:
+    matches the dense item-mode run exactly on an unmasked config."""
+    from ganmf_tpu.models import CFGAN
+
+    train, _ = urm_pair
+    kwargs = dict(d_nodes=8, g_nodes=8, scheme="ZR", zr_ratio=0.0,
+                  zr_coefficient=0.0, epochs=2, d_batch_size=16, g_batch_size=16,
+                  allow_worse=None, freq=None)
+    dense = CFGAN(train, mode="item", seed=5)
+    dense.fit(**kwargs)
+    streamed = CFGAN(train, mode="item", seed=5)
+    streamed.fit(urm_storage="csr", **kwargs)
+    uids = np.arange(train.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(streamed.score_device(uids)),
+        np.asarray(dense.score_device(uids)),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -435,3 +435,26 @@ def test_easer_mesh_with_padding():
     np.testing.assert_allclose(
         se.W_sparse.toarray(), be.W_sparse.toarray(), rtol=1e-4, atol=1e-6
     )
+
+
+def test_cfgan_csr_storage_composes_with_mesh(urm_pair):
+    """CFGAN urm_storage='csr' + mesh_plan: the user-axis-sharded padded-CSR
+    fit equals the dense single-device fit on an unmasked config (masked
+    configs use a different per-user mask RNG stream by construction)."""
+    from ganmf_tpu.models import CFGAN
+
+    train, test = urm_pair
+    plan = make_mesh(n_data=2, n_model=2)
+    kwargs = dict(d_nodes=8, g_nodes=8, scheme="ZR", zr_ratio=0.0,
+                  zr_coefficient=0.0, epochs=3, d_batch_size=16, g_batch_size=16,
+                  allow_worse=None, freq=None)
+
+    dense = CFGAN(train, mode="user", seed=11)
+    dense.fit(**kwargs)
+    streamed = CFGAN(train, mode="user", seed=11)
+    streamed.fit(urm_storage="csr", mesh_plan=plan, **kwargs)
+
+    for got, want in zip(
+        jax.tree_util.tree_leaves(streamed.params), jax.tree_util.tree_leaves(dense.params)
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-6)
