@@ -348,8 +348,10 @@ class CFGAN(AdversarialRecommender):
                 compute_dtype=compute_dtype,
             )
             self._score_cache = None
+            self._penult_cache = None
 
         self._score_cache = None
+        self._penult_cache = None
         result = self._run_training_loop(
             epochs, validation_evaluator, validation_set, sample_every,
             allow_worse, freq, list(metrics), after, epoch_fn, start_epoch=start_epoch,
@@ -376,8 +378,30 @@ class CFGAN(AdversarialRecommender):
 
     def _on_params_loaded(self):
         self._score_cache = None
+        self._penult_cache = None
 
     # -- scoring (reference CFGAN.py:342-368) ----------------------------------
+    def _stream_penult(self, pc, n_cols):
+        """[R, H] activations of the generator's penultimate layer over all
+        training rows, built in chunks and cached until params change;
+        None when the generator has no hidden layer."""
+        if len(self.params.G.ws) < 2:
+            return None
+        if getattr(self, "_penult_cache", None) is None:
+            act = ACTIVATIONS[self._g_hidden_act]
+            hidden = MLPParams(self.params.G.ws[:-1], self.params.G.bs[:-1])
+            n_rows = pc.idx.shape[0]
+            chunk = 2048
+            parts = []
+            for s in range(0, n_rows, chunk):
+                rows = jnp.arange(s, min(s + chunk, n_rows), dtype=jnp.int32)
+                cond = padded_rows_dense(pc, rows, n_cols).astype(jnp.float32)
+                # _mlp applies the activation after every non-final layer;
+                # here every layer is non-final, so apply it after the last
+                parts.append(act(_mlp(hidden, cond, self._g_hidden_act)))
+            self._penult_cache = jnp.concatenate(parts, axis=0)
+        return self._penult_cache
+
     def _full_generator_output(self) -> jnp.ndarray:
         """G applied to every training-orientation profile."""
         if getattr(self, "_score_cache", None) is None:
@@ -393,17 +417,25 @@ class CFGAN(AdversarialRecommender):
                 cond = padded_rows_dense(pc, jnp.asarray(user_ids), n_cols)
                 return _mlp(self.params.G, cond.astype(jnp.float32), self._g_hidden_act)
             # item mode scores all training rows (= items) and serves the
-            # requested users as columns; stream row chunks so no [I, U]
-            # buffer materializes (csr storage exists to avoid exactly that)
-            n_rows = pc.idx.shape[0]
+            # requested users as columns out[:, uid]. The generator's last
+            # layer is linear, so out[:, uid] = penult @ W_last[:, uid]
+            # + b_last[uid]: cache the [R, H] penultimate activations once
+            # per params (H = g_nodes, small) and each eval batch costs one
+            # [R, H] x [H, B] matmul — no [R, U] buffer ever materializes
+            # and the all-rows sweep is not repeated per batch.
             uid = jnp.asarray(user_ids)
-            chunk = 2048
-            cols = []
-            for s in range(0, n_rows, chunk):
-                rows = jnp.arange(s, min(s + chunk, n_rows), dtype=jnp.int32)
-                cond = padded_rows_dense(pc, rows, n_cols).astype(jnp.float32)
-                cols.append(jnp.take(_mlp(self.params.G, cond, self._g_hidden_act), uid, axis=1))
-            return jnp.concatenate(cols, axis=0).T
+            penult = self._stream_penult(pc, n_cols)
+            if penult is None:  # no hidden layer: penult would be the full matrix
+                n_rows = pc.idx.shape[0]
+                chunk = 2048
+                cols = []
+                for s in range(0, n_rows, chunk):
+                    rows = jnp.arange(s, min(s + chunk, n_rows), dtype=jnp.int32)
+                    cond = padded_rows_dense(pc, rows, n_cols).astype(jnp.float32)
+                    cols.append(jnp.take(_mlp(self.params.G, cond, self._g_hidden_act), uid, axis=1))
+                return jnp.concatenate(cols, axis=0).T
+            w_last, b_last = self.params.G.ws[-1], self.params.G.bs[-1]
+            return (penult @ jnp.take(w_last, uid, axis=1) + jnp.take(b_last, uid)[None, :]).T
         out = self._full_generator_output()
         if self.mode == "item":
             return jnp.take(out.T, user_ids, axis=0)

@@ -12,6 +12,9 @@ import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import atomic_json_dump
 
 from ganmf_tpu.data import load_reference_splits
 from ganmf_tpu.eval import EvaluatorHoldout
@@ -38,7 +41,7 @@ def main():
         r, _ = ev.evaluateRecommender(m)
         results[key] = {"MAP": float(r[20]["MAP"]), "NDCG": float(r[20]["NDCG"])}
         print(key, json.dumps(results[key]), flush=True)
-        json.dump(results, open(out_path, "w"), indent=1)
+        atomic_json_dump(results, out_path)
     print("done")
 
 

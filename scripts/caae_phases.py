@@ -8,6 +8,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import epoch_time
 
 import jax
 import jax.numpy as jnp
@@ -20,21 +23,6 @@ BASE = dict(g_units=100, num_factors=50, d_bsize=4096, m_batch=128)
 N = 41
 
 
-def epoch_time(fit_kwargs, n_epochs=N):
-    def run(n):
-        m = CAAE(train, seed=1, is_experiment=True)
-        t0 = time.time()
-        m.fit(epochs=n, **fit_kwargs)
-        leaf = jax.tree_util.tree_leaves(m.params)[0]
-        float(jnp.sum(leaf))
-        return time.time() - t0
-
-    run(1)
-    t1 = min(run(1) for _ in range(2))
-    tn = min(run(n_epochs) for _ in range(2))
-    return max(tn - t1, 1e-9) / (n_epochs - 1)
-
-
 train = load_reference_splits(DS).train
 variants = {
     "full (2,2,2)": dict(d_steps=2, g_steps=2, gpr_steps=2),
@@ -45,6 +33,7 @@ variants = {
 }
 out = {}
 for name, steps in variants.items():
-    t = epoch_time(dict(BASE, **steps))
+    t = epoch_time(lambda: CAAE(train, seed=1, is_experiment=True), dict(BASE, **steps), n_epochs=N)
     out[name] = t * 1e3
     print(json.dumps({"variant": name, "ms": round(t * 1e3, 2)}), flush=True)
+print(json.dumps({"dataset": DS, "ms": {k: round(v, 2) for k, v in out.items()}}))

@@ -16,6 +16,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import epoch_time, timeit
 
 import jax
 import jax.numpy as jnp
@@ -23,36 +26,6 @@ import jax.numpy as jnp
 from ganmf_tpu.data.splits import load_reference_splits
 from ganmf_tpu.models import CAAE, SLIM_BPR
 from ganmf_tpu.models.mf_sgd import MatrixFactorization_BPR
-
-
-def epoch_time(make_model, fit_kwargs, n_epochs=41):
-    # best-of-2 on BOTH ends and a large n: the tunnel link's constant-term
-    # jitter reaches seconds, which corrupted the first round of these
-    # measurements (CAAE[1M] read 48 ms under an 11-epoch single-shot
-    # protocol; the robust number is ~220 ms).
-    def run(n):
-        m = make_model()
-        t0 = time.time()
-        m.fit(epochs=n, **fit_kwargs)
-        leaf = jax.tree_util.tree_leaves(m.params)[0]
-        float(jnp.sum(leaf))
-        return time.time() - t0
-
-    run(1)
-    t1 = min(run(1) for _ in range(2))
-    tn = min(run(n_epochs) for _ in range(2))
-    return max(tn - t1, 1e-9) / (n_epochs - 1)
-
-
-def timeit(fn, n=3, warmup=1):
-    for _ in range(warmup):
-        fn()
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
 
 
 def main():
@@ -64,7 +37,7 @@ def main():
         for scatter in ("direct", "dedup"):
             t = epoch_time(
                 lambda: CAAE(train, seed=1, is_experiment=True),
-                dict(cfg_ca, d_scatter=scatter), n_epochs=11)
+                dict(cfg_ca, d_scatter=scatter), n_epochs=41)
             results[f"CAAE[{ds}] d_scatter={scatter}"] = t
             print(json.dumps({"bench": f"CAAE[{ds}] d_scatter={scatter}", "ms": t * 1e3}), flush=True)
 

@@ -10,28 +10,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-
-def timeit(fn, n=5, warmup=1):
-    """Best-of-n: the tunnel-attached chip shows large run-to-run variance
-    (interleaved tenants / link weather), so the minimum is the honest
-    estimate of what the program costs."""
-    for _ in range(warmup):
-        fn()
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.time()
-        out = fn()
-        try:
-            import jax
-
-            jax.block_until_ready(out)
-        except Exception:
-            pass
-        best = min(best, time.time() - t0)
-    return best
+from _timing import atomic_json_dump, timeit
 
 
 # -- roofline model (VERDICT r2 #8) -------------------------------------------
@@ -58,64 +41,84 @@ def _bytes_str(nbytes, seconds):
     return f"{rate/1e9:.0f} GB/s ({100*rate/HBM_PEAK:.0f}% HBM)"
 
 
-def roofline(name, seconds):
-    """Analytic dominant-term throughput for a PERF row. Matmul counts are
-    forward FLOPs x3 for trained passes (fwd:bwd ~ 1:2); bandwidth-bound
-    rows use the row-traffic model instead. Approximations are deliberate:
-    the column exists to show order-of-magnitude headroom, not to be a
+def _work(name):
+    """Analytic dominant-term work for a PERF row: ("flops"|"bytes", amount)
+    or None. Matmul counts are forward FLOPs x3 for trained passes
+    (fwd:bwd ~ 1:2); bandwidth-bound rows use the row-traffic model.
+    Approximations are deliberate: order-of-magnitude headroom, not a
     simulator."""
     ds = None
     for key in SHAPES:
         if f"[{key}]" in name:
             ds = key
     if ds is None:
-        return ""
+        return None
     U, I, nnz = SHAPES[ds]
 
     if name.startswith("GANMF["):
         B, K, E = 64, 250, 992
         nb = -(-U // B)
         per_batch = 2 * B * K * I + 8 * B * I * E  # generator + AE on real+fake
-        return _flops_str(nb * 2 * 3 * per_batch, seconds)
+        return ("flops", nb * 2 * 3 * per_batch)
     if name.startswith("DisGANMF["):
         B, K, H = 128, 64, 256
         nb = -(-U // B)
         per_batch = 2 * B * K * I + 4 * B * (I + 1) * H  # gen + MLP-D real+fake
-        return _flops_str(nb * 2 * 3 * per_batch, seconds)
+        return ("flops", nb * 2 * 3 * per_batch)
     if name.startswith("CFGAN["):
         B, G_H, D_H = 128, 256, 64
         nb = -(-U // B)
         per_batch = 4 * B * G_H * I + 8 * B * I * D_H
-        return _flops_str(nb * 2 * 3 * per_batch, seconds)
+        return ("flops", nb * 2 * 3 * per_batch)
     if name.startswith("CAAE["):
         # gather/scatter-bound D phase + table build; row-traffic model
         B, K, d_steps = 4096, 50, 2
         n_chunks = -(-nnz // B)
         dphase = d_steps * n_chunks * 2 * (3 * B * (K + 1) * 4 * 2)
         tables = 10 * U * I * 4  # autoencodes + softmax + cdf passes
-        return _bytes_str(dphase + tables, seconds)
+        return ("bytes", dphase + tables)
     if name.startswith("IALS["):
         K = 50
-        return _flops_str(4 * U * I * K * K, seconds)
+        return ("flops", 4 * U * I * K * K)
     if name.startswith("SLIM-BPR["):
         # U BPR samples, each streaming ~4 row-passes of the dense [I] row
-        return _bytes_str(U * I * 4 * 4, seconds)
+        return ("bytes", U * I * 4 * 4)
     if name.startswith("PureSVD["):
         k = 60  # K + oversampling
-        return _flops_str(8 * U * I * k, seconds)
+        return ("flops", 8 * U * I * k)
     if name.startswith("ItemKNN["):
-        return _flops_str(2 * U * I * I, seconds)
+        return ("flops", 2 * U * I * I)
     if name.startswith("P3alpha["):
-        return _flops_str(2 * U * I * I, seconds)
+        return ("flops", 2 * U * I * I)
     if name.startswith("EASE-R["):
-        return _flops_str(2 * U * I * I + I**3 // 3 + 2 * I**3, seconds)
+        return ("flops", 2 * U * I * I + I**3 // 3 + 2 * I**3)
     if "similarity-family" in name:
         # matmul-bound: URM rows x dense [I, I] W at HIGHEST precision
-        return _flops_str(2 * U * I * I, seconds)
+        return ("flops", 2 * U * I * I)
     if name.startswith("Eval["):
         # ranking-bound: model scores + masks stream through VMEM/HBM
-        return _bytes_str(2 * U * I * 4, seconds)
-    return ""
+        return ("bytes", 2 * U * I * 4)
+    return None
+
+
+def roofline(name, seconds):
+    w = _work(name)
+    if w is None:
+        return ""
+    kind, amount = w
+    return _flops_str(amount, seconds) if kind == "flops" else _bytes_str(amount, seconds)
+
+
+def plausible(name, seconds):
+    """False when a timing implies running above the chip's peak — the
+    signature of a jitter-corrupted differencing measurement. Such values
+    must never be recorded (especially not min-kept)."""
+    w = _work(name)
+    if w is None:
+        return True
+    kind, amount = w
+    peak = BF16_PEAK if kind == "flops" else HBM_PEAK
+    return amount / max(seconds, 1e-12) <= peak
 
 
 def main(datasets=("1M", "LastFM")):
@@ -139,6 +142,14 @@ def main(datasets=("1M", "LastFM")):
     keep_min = os.environ.get("PERF_KEEP_MIN") == "1"
 
     def record(name, seconds, note=""):
+        # A timing that implies running above the chip's peak is a
+        # jitter-corrupted differencing artifact, not a measurement: never
+        # record it over an existing row, and flag it if it's all we have.
+        if not plausible(name, seconds):
+            if name in rows:
+                print(f"{name:45s} {seconds*1e3:10.2f} ms  IMPLAUSIBLE (>peak), keeping prior row", flush=True)
+                return
+            note = (note + " " if note else "") + "IMPLAUSIBLE (>peak) — remeasure"
         # PERF_KEEP_MIN=1: keep the lower of (existing, new) — repeated runs
         # then converge to the documented best-of-n protocol across sessions,
         # which matters on the tunnel-attached chip whose run-to-run variance
@@ -148,7 +159,7 @@ def main(datasets=("1M", "LastFM")):
             seconds = rows[name][0]
         rows[name] = (seconds, note)
         print(f"{name:45s} {seconds*1e3:10.2f} ms  {note}", flush=True)
-        json.dump({k: list(v) for k, v in rows.items()}, open("PERF.json", "w"), indent=1)
+        atomic_json_dump({k: list(v) for k, v in rows.items()}, "PERF.json")
         _write(rows)  # incremental: a killed run keeps its finished rows
 
     for ds in datasets:
@@ -158,28 +169,12 @@ def main(datasets=("1M", "LastFM")):
 
         # -- GAN trainers: steady-state epoch via fit-duration differencing
         # (fit() includes host setup + device transfer; (t_N - t_1)/(N-1)
-        # isolates the per-epoch device time)
-        def epoch_time(make_model, fit_kwargs, n_epochs=101):
-            # n_epochs must be large enough that (n_epochs-1) * epoch_cost
-            # dwarfs the tunnel link's per-fit jitter (tens of ms): at 41
-            # epochs a 40 ms swing in the constant term once produced a
-            # "1.98 ms" bf16 GANMF epoch — 3x the chip's peak FLOP rate.
-            # value readback is the only honest device sync on this backend
-            def run(n):
-                m = make_model()
-                t0 = time.time()
-                m.fit(epochs=n, **fit_kwargs)
-                leaf = jax.tree_util.tree_leaves(m.params)[0]
-                float(jnp.sum(leaf))
-                return time.time() - t0
-            run(1)  # compile
-            t1 = min(run(1) for _ in range(2))
-            tn = min(run(n_epochs) for _ in range(2))
-            # the tunnel link's jitter lives in the constant term of both
-            # runs; min-of-2 on each side bounds it. A result faster than
-            # the chip could possibly be means the jitter still won — treat
-            # as invalid rather than record a >peak number.
-            return max(tn - t1, 1e-9) / (n_epochs - 1)
+        # isolates the per-epoch device time). Shared protocol in
+        # scripts/_timing.py: 101 epochs, best-of-2 on both ends — the
+        # tunnel link's constant-term jitter once produced a "1.98 ms"
+        # bf16 GANMF epoch, 3x the chip's peak FLOP rate (record() above
+        # additionally refuses >peak results).
+        from _timing import epoch_time
 
         cfg = dict(num_factors=250, emb_dim=min(992, int(I * 0.75)), batch_size=64)
         t = epoch_time(lambda: GANMF(train, mode="user", seed=1337, is_experiment=True), cfg)

@@ -12,6 +12,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _timing import atomic_json_dump
 
 from ganmf_tpu.cli import experiment as expmod
 from ganmf_tpu.cli.run_best import run as run_best
@@ -38,5 +41,5 @@ results[key] = {
     "published_MAP@20": 0.0927992,
     "published_NDCG@20": 0.1909021,
 }
-json.dump(results, open("TUNED.json", "w"), indent=1)
+atomic_json_dump(results, "TUNED.json")
 print(key, json.dumps(results[key]), flush=True)
