@@ -156,7 +156,9 @@ def main(datasets=("1M", "LastFM")):
         # can exceed 5x (e.g. CAAE[1M] 48 ms vs 253 ms in back-to-back
         # processes; link weather / interleaved tenants).
         if keep_min and name in rows and rows[name][0] < seconds:
-            seconds = rows[name][0]
+            # keep the note with the seconds it was computed from (users/s
+            # notes embed the timing)
+            seconds, note = rows[name]
         rows[name] = (seconds, note)
         print(f"{name:45s} {seconds*1e3:10.2f} ms  {note}", flush=True)
         atomic_json_dump({k: list(v) for k, v in rows.items()}, "PERF.json")
