@@ -344,3 +344,26 @@ def test_similarity_matrix_topk_device_branch_matches_host():
     want = base_mod.similarity_matrix_topk(Wsp.copy(), k=7).toarray()
     got = base_mod._device_column_topk(Wsp, 7).toarray()
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_perf_report_plausibility_guard():
+    """The perf harness must reject timings that imply running above the
+    chip's peak (jitter-corrupted differencing artifacts): the recorded
+    '1.98 ms bf16 GANMF epoch' incident would have been 3x peak."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "perf_report", os.path.join(os.path.dirname(__file__), "..", "scripts", "perf_report.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    name = "GANMF[1M] steady epoch (K=250, b=64, bf16)"
+    assert not mod.plausible(name, 0.00198)  # the incident value
+    assert mod.plausible(name, 0.0199)  # the honest value
+    # bandwidth-bound rows are checked against the HBM peak
+    assert not mod.plausible("CAAE[1M] steady epoch", 1e-5)
+    assert mod.plausible("CAAE[1M] steady epoch", 0.22)
+    # unknown rows pass through
+    assert mod.plausible("some-new-bench", 1e-9)
