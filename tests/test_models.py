@@ -478,3 +478,25 @@ def test_cfgan_streamed_item_mode(urm_pair):
         np.asarray(dense.score_device(uids)),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_cfgan_streamed_composes_with_bf16(urm_pair):
+    """urm_storage='csr' + compute_dtype='bf16' on CFGAN: both flags steer
+    the same epoch program; the combination trains deterministically to
+    finite metrics with f32 master params."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import CFGAN
+
+    train, test = urm_pair
+    kwargs = dict(d_nodes=8, g_nodes=8, scheme="ZP", zr_ratio=0.3, zp_ratio=0.3,
+                  zr_coefficient=0.1, epochs=3, d_batch_size=16, g_batch_size=16,
+                  allow_worse=None, freq=None, urm_storage="csr", compute_dtype="bf16")
+    a = CFGAN(train, seed=13)
+    a.fit(**kwargs)
+    b = CFGAN(train, seed=13)
+    b.fit(**kwargs)
+    assert a.params.G.ws[0].dtype == jnp.float32
+    for ga, gb in zip(jax.tree_util.tree_leaves(a.params), jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    res, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(a)
+    assert np.isfinite(res[5]["MAP"])
