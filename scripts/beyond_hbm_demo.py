@@ -41,7 +41,9 @@ def synthetic_urm(u, i, per_user, seed=0):
 
 
 def main():
-    from ganmf_tpu.models import GANMF
+    import jax.numpy as jnp
+
+    from ganmf_tpu.models import CFGAN, GANMF, DisGANMF, IALSRecommender
 
     train = synthetic_urm(U, I, NNZ_PER_USER)
     dense_gb = U * I * 4 / 2**30
@@ -59,23 +61,50 @@ def main():
         flush=True,
     )
 
-    kwargs = dict(
-        num_factors=64, emb_dim=256, batch_size=64, d_steps=1, g_steps=1,
-        urm_storage="csr",
-    )
-    t = epoch_time(
-        lambda: GANMF(train, mode="user", seed=1, is_experiment=True),
-        kwargs, n_epochs=3,
-    )
-    print(
-        json.dumps(
-            {
-                "bench": f"GANMF beyond-HBM csr epoch (U={U}, I={I})",
-                "s_per_epoch": round(t, 2),
-                "dense_urm_gb": round(dense_gb, 1),
-            }
+    which = (sys.argv[1:] or ["ganmf", "disganmf", "cfgan", "ials"])
+
+    if "ganmf" in which:
+        t = epoch_time(
+            lambda: GANMF(train, mode="user", seed=1, is_experiment=True),
+            dict(num_factors=64, emb_dim=256, batch_size=64, urm_storage="csr"),
+            n_epochs=3,
         )
-    )
+        print(json.dumps({"bench": f"GANMF beyond-HBM csr epoch (U={U}, I={I})",
+                          "s_per_epoch": round(t, 2)}), flush=True)
+
+    if "disganmf" in which:
+        t = epoch_time(
+            lambda: DisGANMF(train, mode="user", seed=1, is_experiment=True),
+            dict(num_factors=64, d_nodes=256, batch_size=128, urm_storage="csr"),
+            n_epochs=3,
+        )
+        print(json.dumps({"bench": f"DisGANMF beyond-HBM csr epoch (U={U}, I={I})",
+                          "s_per_epoch": round(t, 2)}), flush=True)
+
+    if "cfgan" in which:
+        t = epoch_time(
+            lambda: CFGAN(train, mode="user", seed=1, is_experiment=True),
+            dict(d_nodes=64, g_nodes=256, scheme="ZR", zr_ratio=0.3, zr_coefficient=0.1,
+                 d_batch_size=128, g_batch_size=128, urm_storage="csr",
+                 allow_worse=None, freq=None),
+            n_epochs=3,
+        )
+        print(json.dumps({"bench": f"CFGAN beyond-HBM csr epoch (U={U}, I={I})",
+                          "s_per_epoch": round(t, 2)}), flush=True)
+
+    if "ials" in which:
+        from _timing import timeit
+
+        ials = IALSRecommender(train)
+        ials.fit(epochs=1, num_factors=64, alpha=5.0, urm_storage="csr")
+
+        def ials_epoch():
+            ials._run_epoch(0)
+            return float(jnp.sum(ials._U_dev))
+
+        t = timeit(ials_epoch, n=2)
+        print(json.dumps({"bench": f"IALS beyond-HBM csr epoch (U={U}, I={I}, K=64)",
+                          "s_per_epoch": round(t, 2)}), flush=True)
 
 
 if __name__ == "__main__":
