@@ -157,9 +157,16 @@ def cfgan_epoch(
                 lambda u: jax.random.uniform(jax.random.fold_in(base_key, u), (n_items,))
             )(rows)
             keys = jnp.where(interacted, jnp.inf, u01)
-            ranks = jnp.argsort(jnp.argsort(keys, axis=1), axis=1)
+            # select the k_u smallest-keyed zeros by thresholding at the
+            # k_u-th order statistic: one sort instead of the dense path's
+            # argsort-of-argsort (this path has no bitwise-parity
+            # constraint — its RNG stream already differs — and the
+            # selected set is identical for distinct keys, which uniform
+            # f32 draws are almost surely)
             k_u = (n_zeros * ratio).astype(jnp.int32)
-            return (ranks < k_u[:, None]).astype(cd)
+            sorted_keys = jnp.sort(keys, axis=1)
+            kth = jnp.take_along_axis(sorted_keys, jnp.maximum(k_u[:, None] - 1, 0), axis=1)
+            return ((keys <= kth) & (k_u[:, None] > 0)).astype(cd)
 
         def batch_inputs(start, size):
             rows = start + jnp.arange(size, dtype=jnp.int32)
