@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ganmf_tpu.models.gan_base import AdversarialRecommender
+from ganmf_tpu.ops.topk import smallest_k_mask
 from ganmf_tpu.utils.debug import instrumented_jit
 
 
@@ -347,10 +348,10 @@ def caae_epoch(
         p_gpr = jnp.take(gpr_prob_full, uids, axis=0)
         gumbel = -jnp.log(-jnp.log(jax.random.uniform(k2, profiles.shape, minval=1e-20) + 1e-20))
         keys = jnp.where(seen, -jnp.inf, jnp.log(jnp.maximum(p_gpr, 1e-30)) + gumbel)
-        order = jnp.argsort(-keys, axis=1)
-        ranks = jnp.argsort(order, axis=1)
         k_u = (jnp.take(n_nonint, uids) * S).astype(jnp.int32)
-        nu = (ranks < k_u[:, None]) & (~seen)
+        # k_u largest keys = smallest_k_mask of the negated keys; bitwise
+        # identical to the original argsort(-keys) rank table
+        nu = smallest_k_mask(-keys, k_u) & (~seen)
         e_mask = jnp.clip(profiles + nu.astype(jnp.float32), 0.0, 1.0)
 
         g_recon = _autoencode(g_p, profiles)

@@ -30,6 +30,7 @@ import optax
 
 from ganmf_tpu.data.device import PaddedCSR, padded_rows_dense
 from ganmf_tpu.models.gan_base import AdversarialRecommender, make_batches, padded_weights
+from ganmf_tpu.ops.topk import smallest_k_mask
 from ganmf_tpu.utils.debug import instrumented_jit
 
 ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
@@ -101,10 +102,10 @@ def sample_negative_masks(key, urm: jnp.ndarray, zr_ratio: float, zp_ratio: floa
     def draw(k, ratio):
         keys = jax.random.uniform(k, (n_users, n_items))
         keys = jnp.where(interacted, jnp.inf, keys)
-        order = jnp.argsort(keys, axis=1)
-        ranks = jnp.argsort(order, axis=1)
         k_u = (n_zeros * ratio).astype(jnp.int32)
-        return (ranks < k_u[:, None]).astype(urm.dtype)
+        # bitwise-identical to the original rank-table selection (see
+        # smallest_k_mask), so committed parity rows are untouched
+        return smallest_k_mask(keys, k_u).astype(urm.dtype)
 
     k_zr, k_pm = jax.random.split(key)
     zr = draw(k_zr, zr_ratio) if scheme in ("ZP", "ZR") else jnp.zeros_like(urm)
@@ -157,16 +158,8 @@ def cfgan_epoch(
                 lambda u: jax.random.uniform(jax.random.fold_in(base_key, u), (n_items,))
             )(rows)
             keys = jnp.where(interacted, jnp.inf, u01)
-            # select the k_u smallest-keyed zeros by thresholding at the
-            # k_u-th order statistic: one sort instead of the dense path's
-            # argsort-of-argsort (this path has no bitwise-parity
-            # constraint — its RNG stream already differs — and the
-            # selected set is identical for distinct keys, which uniform
-            # f32 draws are almost surely)
             k_u = (n_zeros * ratio).astype(jnp.int32)
-            sorted_keys = jnp.sort(keys, axis=1)
-            kth = jnp.take_along_axis(sorted_keys, jnp.maximum(k_u[:, None] - 1, 0), axis=1)
-            return ((keys <= kth) & (k_u[:, None] > 0)).astype(cd)
+            return smallest_k_mask(keys, k_u).astype(cd)
 
         def batch_inputs(start, size):
             rows = start + jnp.arange(size, dtype=jnp.int32)

@@ -367,3 +367,30 @@ def test_perf_report_plausibility_guard():
     assert mod.plausible("CAAE[1M] steady epoch", 0.22)
     # unknown rows pass through
     assert mod.plausible("some-new-bench", 1e-9)
+
+
+def test_smallest_k_mask_matches_rank_table():
+    """smallest_k_mask must be BITWISE identical to the rank-table
+    construction it replaced (argsort-of-argsort < k), including on tied
+    keys — the CFGAN/CAAE parity rows were validated against the rank
+    table's exact selection."""
+    import jax
+    import jax.numpy as jnp
+
+    from ganmf_tpu.ops.topk import smallest_k_mask
+
+    key = jax.random.PRNGKey(7)
+    # low-resolution keys force many ties, some straddling the boundary
+    keys = jnp.round(jax.random.uniform(key, (64, 97)) * 8.0)
+    inter = jax.random.uniform(jax.random.PRNGKey(8), (64, 97)) < 0.3
+    keys = jnp.where(inter, jnp.inf, keys)
+    for ratio in (0.0, 0.3, 1.0):
+        k = (jnp.sum(~inter, axis=1) * ratio).astype(jnp.int32)
+        ref = jnp.argsort(jnp.argsort(keys, axis=1), axis=1) < k[:, None]
+        got = smallest_k_mask(keys, k)
+        assert bool(jnp.all(ref == got)), f"mismatch at ratio={ratio}"
+    # exact-k property on untied rows
+    k = (jnp.sum(~inter, axis=1) * 0.5).astype(jnp.int32)
+    untied = jnp.where(inter, jnp.inf, jax.random.uniform(key, (64, 97)))
+    got = smallest_k_mask(untied, k)
+    assert bool(jnp.all(jnp.sum(got, axis=1) == k))
