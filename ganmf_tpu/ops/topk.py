@@ -62,6 +62,13 @@ def smallest_k_mask(keys: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     (tests/test_aux.py). Used by the CFGAN ZR/PM samplers and CAAE's Nu
     draw (cython_utils.pyx:48-66 / CAAE.py:277-285 semantics).
     """
+    from ganmf_tpu.ops.pallas_select import MAX_KERNEL_COLS, smallest_k_mask_pallas
+
+    if jax.default_backend() == "tpu" and keys.shape[1] <= MAX_KERNEL_COLS:
+        # VMEM-resident kernel: one HBM read of the keys instead of 32
+        # (selection bitwise-identical; tests/test_pallas_select.py)
+        return smallest_k_mask_pallas(keys, k)
+
     b = jax.lax.bitcast_convert_type(keys, jnp.uint32)
     # order-preserving map of IEEE-754 onto uint32 (no NaNs in our keys)
     u = jnp.where(b >> 31 == 1, ~b, b | jnp.uint32(0x80000000))

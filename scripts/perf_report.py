@@ -109,10 +109,30 @@ def roofline(name, seconds):
     return _flops_str(amount, seconds) if kind == "flops" else _bytes_str(amount, seconds)
 
 
+def serial_floor(name):
+    """Hard lower bound (seconds) for rows dominated by a strictly
+    sequential dependency chain, where the bandwidth roofline is far too
+    generous to catch corrupted differencing. CAAE's D phase issues
+    d_steps x n_chunks x 2 dependent fused gather+grad+scatter updates
+    (models/caae.py:197-231); each measures ~264-408 us on this chip and
+    cannot plausibly beat 100 us (the 3.01 ms 'CAAE[LastFM]' incident
+    implied 40 us/update — a jitter artifact that the bandwidth guard
+    admitted)."""
+    for key in SHAPES:
+        if f"[{key}]" in name and name.startswith("CAAE["):
+            _, _, nnz = SHAPES[key]
+            n_updates = -(-nnz // 4096) * 2 * 2  # chunks x d_steps x BPR updates
+            return n_updates * 100e-6
+    return None
+
+
 def plausible(name, seconds):
     """False when a timing implies running above the chip's peak — the
     signature of a jitter-corrupted differencing measurement. Such values
     must never be recorded (especially not min-kept)."""
+    floor = serial_floor(name)
+    if floor is not None and seconds < floor:
+        return False
     w = _work(name)
     if w is None:
         return True

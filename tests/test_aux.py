@@ -365,6 +365,11 @@ def test_perf_report_plausibility_guard():
     # bandwidth-bound rows are checked against the HBM peak
     assert not mod.plausible("CAAE[1M] steady epoch", 1e-5)
     assert mod.plausible("CAAE[1M] steady epoch", 0.22)
+    # CAAE rows additionally have a serial-dependency-chain floor: the
+    # recorded '3.01 ms CAAE[LastFM]' incident passed the bandwidth guard
+    # but implied 40 us per dependent D-phase update
+    assert not mod.plausible("CAAE[LastFM] steady epoch", 0.00301)
+    assert mod.plausible("CAAE[LastFM] steady epoch", 0.0267)
     # unknown rows pass through
     assert mod.plausible("some-new-bench", 1e-9)
 
