@@ -537,22 +537,44 @@ class UserSimilarityRecommender(Recommender):
 
     def __init__(self, URM_train):
         super().__init__(URM_train)
-        self.W_sparse: Optional[sps.csr_matrix] = None
+        self._W_sparse_store: Optional[sps.csr_matrix] = None
         self._device_w = None
+
+    # same lazy device-authoritative design as ItemSimilarityRecommender:
+    # a device-built dense W never round-trips to host unless an artifact
+    # (saveModel, composition) reads the property
+    @property
+    def W_sparse(self) -> Optional[sps.csr_matrix]:
+        if self._W_sparse_store is None and self._device_w is not None and self._device_w is not False:
+            W = np.array(self._device_w)
+            self._W_sparse_store = check_matrix(sps.csr_matrix(W), "csr", np.float32)
+        return self._W_sparse_store
+
+    @W_sparse.setter
+    def W_sparse(self, value):
+        self._W_sparse_store = value
+        self._device_w = None
+
+    def _adopt_device_w(self, W_dev: jnp.ndarray):
+        """Make a device-resident dense [U, U] W authoritative."""
+        self._W_sparse_store = None
+        self._device_w = W_dev
 
     def _w_device(self):
         if self._device_w is None:
-            n = self.W_sparse.shape[0]
+            n = self._W_sparse_store.shape[0]
             if 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
                 from ganmf_tpu.data.device import dense_from_sparse
 
-                self._device_w = dense_from_sparse(sps.csr_matrix(self.W_sparse))
+                self._device_w = dense_from_sparse(sps.csr_matrix(self._W_sparse_store))
             else:
                 self._device_w = False
         return self._device_w
 
     def _invalidate_device_cache(self):
         super()._invalidate_device_cache()
+        if self._W_sparse_store is None and self._device_w is not None and self._device_w is not False:
+            _ = self.W_sparse  # materialize the host copy before dropping device state
         self._device_w = None
 
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:

@@ -116,6 +116,12 @@ class EASE_R_Recommender(ItemSimilarityRecommender):
                 vals, idx = _ease_r_topk_sharded(A, float(l2_norm), k, mesh_plan)
             else:
                 vals, idx = _ease_r_weights_topk(A, float(l2_norm), k)
+                if 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+                    # pruned W stays device-authoritative: no [I, k] readback
+                    from ganmf_tpu.ops.topk import scatter_col_topk_dense
+
+                    self._adopt_device_w(scatter_col_topk_dense(vals, idx))
+                    return
             vals = np.asarray(vals, dtype=np.float32)
             idx = np.asarray(idx)
             keep = vals != 0.0

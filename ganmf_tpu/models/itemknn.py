@@ -42,15 +42,24 @@ class ItemKNNCFRecommender(ItemSimilarityRecommender):
             self.URM_train = check_matrix(TF_IDF(self.URM_train.T.astype(np.float32)).T, "csr")
             self._invalidate_device_cache()
 
-        self.W_sparse = compute_similarity(
-            self.URM_train,
-            similarity=similarity,
-            topK=topK,
-            shrink=shrink,
-            normalize=normalize,
-            **similarity_args,
-        )
-        self.W_sparse = check_matrix(self.W_sparse, "csr")
+        n = self.n_items
+        if similarity_args.get("mesh_plan") is None and 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+            # device-authoritative W: the [I, topK] winners never leave the
+            # chip; host CSR materializes lazily on saveModel/composition
+            self._adopt_device_w(
+                compute_similarity(
+                    self.URM_train, similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, export="device", **similarity_args,
+                )
+            )
+        else:
+            self.W_sparse = check_matrix(
+                compute_similarity(
+                    self.URM_train, similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, **similarity_args,
+                ),
+                "csr",
+            )
 
 
 class UserKNNCFRecommender(UserSimilarityRecommender):
@@ -77,15 +86,22 @@ class UserKNNCFRecommender(UserSimilarityRecommender):
             urm = check_matrix(TF_IDF(urm.astype(np.float32)), "csr")
 
         # user-user similarity = column similarity of URM^T
-        self.W_sparse = compute_similarity(
-            urm.T.tocsr(),
-            similarity=similarity,
-            topK=topK,
-            shrink=shrink,
-            normalize=normalize,
-            **similarity_args,
-        )
-        self.W_sparse = check_matrix(self.W_sparse, "csr")
+        n = self.n_users
+        if similarity_args.get("mesh_plan") is None and 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+            self._adopt_device_w(
+                compute_similarity(
+                    urm.T.tocsr(), similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, export="device", **similarity_args,
+                )
+            )
+        else:
+            self.W_sparse = check_matrix(
+                compute_similarity(
+                    urm.T.tocsr(), similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, **similarity_args,
+                ),
+                "csr",
+            )
 
 
 class ItemKNNCustomSimilarityRecommender(ItemSimilarityRecommender):

@@ -61,7 +61,21 @@ def _cols_topk_to_csr(vals: np.ndarray, idx: np.ndarray, n: int) -> sps.csr_matr
     return W.tocsr()
 
 
-class P3alphaRecommender(ItemSimilarityRecommender):
+class _WalkRecommender(ItemSimilarityRecommender):
+    def _finish_w(self, cv, cix):
+        """Adopt the pruned walk matrix: device-resident dense W when it
+        fits HBM (no readback), host CSR otherwise."""
+        n = self.n_items
+        if 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+            from ganmf_tpu.ops.topk import scatter_col_topk_dense
+
+            self._adopt_device_w(scatter_col_topk_dense(cv, cix))
+        else:
+            W = _cols_topk_to_csr(np.asarray(cv, np.float32), np.asarray(cix), n)
+            self.W_sparse = check_matrix(W, "csr")
+
+
+class P3alphaRecommender(_WalkRecommender):
     RECOMMENDER_NAME = "P3alphaRecommender"
 
     def fit(self, topK: int = 100, alpha: float = 1.0, min_rating: float = 0, implicit: bool = False,
@@ -95,11 +109,10 @@ class P3alphaRecommender(ItemSimilarityRecommender):
             topk=min(topK, self.n_items) if topK else self.n_items,
             l1_normalize=bool(normalize_similarity),
         )
-        W = _cols_topk_to_csr(np.asarray(cv, np.float32), np.asarray(cix), self.n_items)
-        self.W_sparse = check_matrix(W, "csr")
+        self._finish_w(cv, cix)
 
 
-class RP3betaRecommender(ItemSimilarityRecommender):
+class RP3betaRecommender(_WalkRecommender):
     """RP3beta: P3alpha with the walk matrix divided by item popularity^beta
     (reference GraphBased/RP3betaRecommender.py)."""
 
@@ -143,5 +156,4 @@ class RP3betaRecommender(ItemSimilarityRecommender):
             topk=min(topK, self.n_items) if topK else self.n_items,
             l1_normalize=bool(normalize_similarity),
         )
-        W = _cols_topk_to_csr(np.asarray(cv, np.float32), np.asarray(cix), self.n_items)
-        self.W_sparse = check_matrix(W, "csr")
+        self._finish_w(cv, cix)

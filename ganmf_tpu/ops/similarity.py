@@ -248,8 +248,9 @@ def compute_similarity(
     similarity_from_distance_mode: str = "lin",
     row_weights: Optional[np.ndarray] = None,
     mesh_plan=None,
+    export: str = "csr",
     **_unused,
-) -> sps.csr_matrix:
+):
     """Column-to-column similarity with top-K pruning.
 
     Drop-in equivalent of the reference Compute_Similarity dispatcher
@@ -260,6 +261,13 @@ def compute_similarity(
     ``mesh_plan``: shard the [I, I] build over the mesh's model axis — each
     chip holds only its target-column slice of the Gram/similarity matrix,
     removing the single-chip HBM ceiling on the catalog size.
+
+    ``export="device"``: return the pruned W as a dense device-resident
+    [I, I] array instead of host CSR — nothing leaves the chip, so the
+    build cost is pure device time (the [I, k] readback dominates on a
+    tunneled device). Values are identical to the CSR export (exact zeros
+    dropped either way on conversion). Not available with ``mesh_plan``,
+    whose purpose is never materializing [I, I] on one chip.
     """
     if similarity not in SIMILARITIES:
         raise ValueError(f"similarity must be one of {SIMILARITIES}, got '{similarity}'")
@@ -320,10 +328,18 @@ def compute_similarity(
         distance_mode=similarity_from_distance_mode,
         use_row_weights=row_weights is not None,
     )
+    if export not in ("csr", "device"):
+        raise ValueError(f"export must be 'csr' or 'device', got '{export}'")
     if mesh_plan is not None and mesh_plan.n_model > 1:
         vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, **kernel_kwargs)
+        if export == "device":
+            raise ValueError("export='device' materializes [I, I] on one chip; use export='csr' with mesh_plan")
     else:
         vals, idx = _similarity_topk(A, rw, **kernel_kwargs)
+        if export == "device":
+            from ganmf_tpu.ops.topk import scatter_col_topk_dense
+
+            return scatter_col_topk_dense(vals, idx)
     vals = np.asarray(vals, dtype=np.float32)  # [n_cols, topK] per column
     idx = np.asarray(idx)
 

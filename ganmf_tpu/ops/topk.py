@@ -44,6 +44,21 @@ def tiled_topk(w: jnp.ndarray, k: int, tile: int = 2048):
     return vv, jnp.take_along_axis(i.reshape(r, T * kk), pos, axis=1)
 
 
+@jax.jit
+def scatter_col_topk_dense(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Dense [n, n] W from per-column top-K candidates: W[idx[j, t], j] =
+    vals[j, t], zeros elsewhere.
+
+    The device-authoritative export of a column-pruned similarity build:
+    equivalent to the host CSC assembly (exact zeros are dropped by CSR
+    conversion either way) but nothing leaves the chip — on a tunneled
+    device the [n, k] vals+idx readback dominates the whole build cost.
+    """
+    n = vals.shape[0]
+    cols = jnp.broadcast_to(jnp.arange(n, dtype=idx.dtype)[:, None], idx.shape)
+    return jnp.zeros((n, n), vals.dtype).at[idx, cols].set(vals)
+
+
 def smallest_k_mask(keys: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Boolean mask of each row's ``k[r]`` smallest entries, ties by index.
 

@@ -254,10 +254,24 @@ def main(datasets=("1M", "LastFM")):
 
         record(f"PureSVD[{ds}] fit (K=50, warm URM)", timeit(svd_fit, n=5),
                "ref ~0.12 s (ML-1M)" if ds == "1M" else "")
-        record(f"ItemKNN[{ds}] cosine build (topK=300)",
-               timeit(lambda: ItemKNNCFRecommender(train).fit(topK=300, shrink=0), n=2))
-        record(f"P3alpha[{ds}] build (topK=300)",
-               timeit(lambda: P3alphaRecommender(train).fit(topK=300, alpha=0.9), n=2))
+        def _w_sync(m):
+            # builds adopt a device-authoritative W (no host export);
+            # reading one element is the honest completion sync
+            return float(m._device_w[0, 0])
+
+        def knn_build():
+            m = ItemKNNCFRecommender(train)
+            m.fit(topK=300, shrink=0)
+            return _w_sync(m)
+
+        record(f"ItemKNN[{ds}] cosine build (topK=300)", timeit(knn_build, n=2))
+
+        def p3_build():
+            m = P3alphaRecommender(train)
+            m.fit(topK=300, alpha=0.9)
+            return _w_sync(m)
+
+        record(f"P3alpha[{ds}] build (topK=300)", timeit(p3_build, n=2))
         if ds == "1M":
             def ease_fit():
                 m = EASE_R_Recommender(train)
@@ -270,9 +284,9 @@ def main(datasets=("1M", "LastFM")):
             def ease_fit_topk():
                 m = EASE_R_Recommender(train)
                 m.fit(l2_norm=100.0, topK=300)
-                return m.W_sparse.nnz
+                return _w_sync(m)
 
-            record(f"EASE-R[{ds}] closed form (topK=300 CSR export)", timeit(ease_fit_topk, n=2))
+            record(f"EASE-R[{ds}] closed form (topK=300 pruned W)", timeit(ease_fit_topk, n=2))
 
         # -- evaluation throughput ---------------------------------------------
         tp = TopPop(train); tp.fit()

@@ -500,3 +500,47 @@ def test_cfgan_streamed_composes_with_bf16(urm_pair):
         np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     res, _ = EvaluatorHoldout(test, [5]).evaluateRecommender(a)
     assert np.isfinite(res[5]["MAP"])
+
+
+def test_device_authoritative_w_matches_host_csr_path():
+    """ItemKNN/UserKNN/P3alpha/RP3beta/EASE-R adopt a device-resident W
+    when it fits HBM; scoring and the lazily-materialized W_sparse must be
+    identical to the host-CSR build the export replaces."""
+    import scipy.sparse as sps
+
+    from ganmf_tpu.models.extras import EASE_R_Recommender
+    from ganmf_tpu.ops.similarity import compute_similarity
+
+    from tests.conftest import random_urm
+
+    train = random_urm(45, 70, density=0.25, seed=21)
+    users = np.arange(45)
+
+    for cls, kwargs in [
+        (ItemKNNCFRecommender, dict(topK=9, shrink=0)),
+        (UserKNNCFRecommender, dict(topK=9, shrink=0)),
+        (P3alphaRecommender, dict(topK=9, alpha=0.8)),
+        (RP3betaRecommender, dict(topK=9, alpha=0.8, beta=0.4)),
+        (EASE_R_Recommender, dict(topK=9, l2_norm=10.0)),
+    ]:
+        dev_model = cls(train)
+        dev_model.fit(**kwargs)
+        assert dev_model._device_w is not None and dev_model._device_w is not False, cls.__name__
+
+        host_model = cls(train)
+        limit = cls._DENSE_W_BYTE_LIMIT
+        try:
+            cls._DENSE_W_BYTE_LIMIT = 0  # force the host CSR export path
+            host_model.fit(**kwargs)
+        finally:
+            cls._DENSE_W_BYTE_LIMIT = limit
+        assert host_model._W_sparse_store is not None, cls.__name__
+
+        np.testing.assert_array_equal(
+            dev_model.W_sparse.toarray(), host_model.W_sparse.toarray(), err_msg=cls.__name__
+        )
+        np.testing.assert_allclose(
+            np.asarray(dev_model.score_device(users)),
+            np.asarray(host_model.score_device(users)),
+            rtol=0, atol=1e-6, err_msg=cls.__name__,
+        )

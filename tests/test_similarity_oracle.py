@@ -95,3 +95,22 @@ def test_pearson_and_adjusted_run(data):
         W = _dense_W(data, similarity=sim, shrink=1, normalize=True)
         assert np.isfinite(W).all()
         assert np.all(np.diag(W) == 0)
+
+
+def test_device_export_equals_csr_export(data):
+    """export='device' must be value-identical to the host CSR assembly
+    (same top-K winners, exact zeros dropped on conversion either way)."""
+    import scipy.sparse as sps
+
+    for sim in ("cosine", "jaccard", "euclidean"):
+        csr = compute_similarity(data, similarity=sim, topK=11, shrink=0.5)
+        dev = compute_similarity(data, similarity=sim, topK=11, shrink=0.5, export="device")
+        back = sps.csr_matrix(np.asarray(dev))
+        assert back.nnz == csr.nnz, sim
+        assert np.array_equal(back.indices, csr.indices), sim
+        np.testing.assert_array_equal(back.toarray(), csr.toarray(), err_msg=sim)
+
+
+def test_device_export_rejects_bad_args(data):
+    with pytest.raises(ValueError):
+        compute_similarity(data, topK=5, export="parquet")
