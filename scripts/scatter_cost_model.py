@@ -5,17 +5,18 @@ CAAE D-phase question (ROADMAP.md).
 Measures, with a scanned `tab.at[idx].add(g)` at the CAAE ML-1M shapes
 ([3 * 9216] update rows into a [6040 + 3706, 44] table):
 
-  1. scatter cost vs update-row count   -> linear, ~6 ns/row
-  2. scatter cost vs row width (8..128) -> FLAT (width-independent)
-  3. `unique_indices=True`              -> NOT faster
+  1. scatter cost vs update-row count   -> sub-linear (halving rows does
+     NOT halve cost: a per-scatter overhead floor dominates at this size)
+  2. scatter cost vs row width (8..128) -> sub-linear (16x width -> ~4x)
+  3. `unique_indices=True`              -> NOT faster (167 vs 132 us)
   4. the full fused gather+grad+scatter update vs its parts
 
-Consequences (see ROADMAP.md "CAAE D-phase"): deduplication can only win
-by reducing update-row count, its run-sum machinery costs more than the
-rows it removes, and no row-packing trick helps. At the committed config
-(d_bsize 9216, d_steps 10 -> 1740 dependent updates) the scatter issue
-rate bounds the D phase near the measured epoch, below the VERDICT-r2
-"<= 100 ms" aspiration.
+Consequences (see ROADMAP.md "CAAE D-phase"): deduplication cannot win —
+the unique hint buys nothing and even halving the row count buys nothing,
+while its run-sum machinery (perm gather + cumsum) adds real cost. These
+micro shapes use uniform-random indices; the real epoch's skewed streams
+measure ~2x faster per update, so treat the absolute numbers as an upper
+bound and the RELATIVE conclusions as the receipt.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/scatter_cost_model.py
 """
@@ -108,8 +109,9 @@ def main():
     print(f"  {'full gather+grad+scatter':34s} {full*1e6:8.1f} us")
     print(f"  {'gather only':34s} {gather*1e6:8.1f} us")
     n_updates = 10 * -(-799_983 // B) * 2  # d_steps x chunks x 2 (G, G')
-    print(f"\nimplied ML-1M D-phase floor: {n_updates} updates x {full*1e6:.0f} us "
-          f"= {n_updates*full*1e3:.0f} ms (committed config)")
+    print(f"\nML-1M D-phase at this uniform-random per-update cost: {n_updates} updates "
+          f"x {full*1e6:.0f} us = {n_updates*full*1e3:.0f} ms (upper bound; the real "
+          f"epoch's skewed streams measure ~2x faster per update)")
 
 
 if __name__ == "__main__":
