@@ -12,7 +12,9 @@ whole search, so HBM sees one read of the keys and one write of the
 mask; the 32 value-bisection steps plus ceil(log2 I) tie-break steps run
 at VPU rates on-chip. Selection is bitwise-identical to the fallback
 (and therefore to the original stable rank-table construction): the
-equivalence is pinned by tests/test_pallas_select.py in interpret mode.
+equivalence is pinned by tests/test_pallas_select.py in interpret mode
+and verified bitwise on real hardware at all three dataset shapes plus
+the [128, 65536] streamed shape (scripts/pallas_select_onchip_check.py).
 """
 
 from __future__ import annotations
