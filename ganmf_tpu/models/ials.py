@@ -98,12 +98,19 @@ def _als_half_step_csr(idx: jnp.ndarray, val: jnp.ndarray, n_cols: int, Y: jnp.n
     return xs.reshape(-1, K)[:N]
 
 
-def _batched_cg(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
+def _batched_cg(A: jnp.ndarray, b: jnp.ndarray, iters: int, rtol: float = 1e-5) -> jnp.ndarray:
     """Solve the batch of SPD K x K systems by conjugate gradients. A
     batched LU (jnp.linalg.solve) runs off the MXU and dominated the IALS
-    epoch (~120 ms for 6040 50x50 systems on v5e); CG is matmul-only and
-    converges to ~1e-7 for these well-regularized normal equations in
-    ~K iterations (exact in <= K steps in exact arithmetic)."""
+    epoch (~120 ms for 6040 50x50 systems on v5e); CG is matmul-only.
+
+    Iteration stops when every system's residual satisfies
+    ||r|| <= rtol * ||b|| (capped at `iters`). These well-regularized
+    normal equations hit the f32 accuracy floor (~2e-7 max abs error vs
+    an f64 direct solve, measured on the ML-1M confidence systems) by
+    ~16 iterations, so the residual exit cuts the dominant IALS cost
+    ~3-4x vs always running the K+16 safety cap; the cap keeps
+    worst-case conditioning correct. rtol=1e-5 sits two decades below
+    the documented 2e-3 parity tolerance."""
     hi = jax.lax.Precision.HIGHEST
 
     def mv(x):
@@ -113,18 +120,23 @@ def _batched_cg(A: jnp.ndarray, b: jnp.ndarray, iters: int) -> jnp.ndarray:
     r = b
     p = r
     rs = jnp.sum(r * r, axis=1)
+    tol2 = (rtol * rtol) * jnp.sum(b * b, axis=1)  # squared per-system target
 
-    def body(carry, _):
-        x, r, p, rs = carry
+    def cond(carry):
+        _, _, _, rs, it = carry
+        return jnp.logical_and(it < iters, jnp.any(rs > tol2))
+
+    def body(carry):
+        x, r, p, rs, it = carry
         Ap = mv(p)
         alpha = rs / jnp.maximum(jnp.sum(p * Ap, axis=1), 1e-30)
         x = x + alpha[:, None] * p
         r = r - alpha[:, None] * Ap
         rs_new = jnp.sum(r * r, axis=1)
         p = r + (rs_new / jnp.maximum(rs, 1e-30))[:, None] * p
-        return (x, r, p, rs_new), None
+        return (x, r, p, rs_new, it + 1)
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rs, jnp.int32(0)))
     return x
 
 
