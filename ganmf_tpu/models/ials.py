@@ -3,10 +3,10 @@
 The reference solves the K x K normal equations one warm user/item at a
 time with np.linalg.inv (MatrixFactorization/IALSRecommender.py:137-201).
 Here each half-epoch is a single jitted program: the confidence-weighted
-Gram matrices for a chunk of rows are built with one einsum over the dense
-HBM-resident URM and all chunk systems are solved with a batched Cholesky
-(jnp.linalg.solve). Cold rows are left untouched, matching the reference's
-warm-only updates.
+Gram matrices for a chunk of rows are built with one MXU matmul against a
+precomputed outer-product table and all chunk systems are solved with a
+batched residual-exit conjugate-gradient solver. Cold rows are left
+untouched, matching the reference's warm-only updates.
 """
 
 from __future__ import annotations
