@@ -290,6 +290,35 @@ class Recommender:
             return ranking_list, scores_batch
         return ranking_list
 
+    def recommend_fused(self, user_id_array, cutoff: int = 20, remove_seen_flag: bool = True):
+        """Serving-scale ranking that keeps the [B, I] score block on device
+        (ops/pallas_scorer.masked_topk_matmul): one fused matmul + seen-mask +
+        top-K program, only the [B, k] winners reach the host. Identical
+        lists to recommend() (same lowest-index tie resolution). Models
+        without device-resident operands fall back to recommend().
+        MF-family models override this with the VMEM streaming scorer."""
+        ops = getattr(self, "_fused_serving_operands", None)
+        if ops is None:
+            return self.recommend(user_id_array, cutoff=cutoff, remove_seen_flag=remove_seen_flag)
+        user_id_array = np.atleast_1d(np.asarray(user_id_array))
+        uids = jnp.asarray(user_id_array, dtype=jnp.int32)
+        operands = ops(uids)
+        if operands is None:  # W too large for HBM residency
+            return self.recommend(user_id_array, cutoff=cutoff, remove_seen_flag=remove_seen_flag)
+        rows, right = operands
+        if remove_seen_flag:
+            seen = self.device_seen_rows(uids)
+        else:
+            seen = jnp.zeros((len(user_id_array), self.n_items), bool)
+        from ganmf_tpu.ops.pallas_scorer import masked_topk_matmul
+
+        pair_ids = jnp.zeros((len(user_id_array), 1), jnp.int32)  # probe unused
+        vals, idx, _, _ = masked_topk_matmul(
+            rows, right, seen, pair_ids, k=min(cutoff, self.n_items)
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        return [idx[b][np.isfinite(vals[b])].tolist() for b in range(len(user_id_array))]
+
     # -- persistence -------------------------------------------------------------
     def _save_dict(self):
         """Attributes persisted by saveModel; subclasses extend."""
@@ -521,6 +550,12 @@ class ItemSimilarityRecommender(Recommender):
         profiles = self.device_urm().rows(user_ids)
         return jnp.dot(profiles, W, precision=jax.lax.Precision.HIGHEST)
 
+    def _fused_serving_operands(self, uids: jnp.ndarray):
+        W = self._w_device()
+        if W is False:
+            return None
+        return self.device_urm().rows(uids), W
+
     def _save_dict(self):
         return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}
 
@@ -584,6 +619,12 @@ class UserSimilarityRecommender(Recommender):
             return jnp.asarray(weights.dot(self.URM_train).toarray().astype(np.float32))
         rows = jnp.take(W, user_ids, axis=0)  # [B, U]
         return jnp.dot(rows, self.device_urm().dense, precision=jax.lax.Precision.HIGHEST)
+
+    def _fused_serving_operands(self, uids: jnp.ndarray):
+        W = self._w_device()
+        if W is False:
+            return None
+        return jnp.take(W, uids, axis=0), self.device_urm().dense
 
     def _save_dict(self):
         return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}

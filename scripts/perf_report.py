@@ -309,6 +309,22 @@ def main(datasets=("1M", "LastFM")):
         record(f"Eval[{ds}] similarity-family (ItemKNN) {n_users} users", t,
                f"{n_users/t:,.0f} users/s")
 
+        # -- serving throughput: ranked top-20 lists for every user ------------
+        # (the production recommend path: fused device scoring + ranking,
+        # host sees only the [B, 20] winners and assembles python lists)
+        all_users = np.arange(U)
+        def serve(model):
+            out = []
+            for s in range(0, U, 2048):
+                out.extend(model.recommend_fused(all_users[s:s + 2048], cutoff=20))
+            return len(out)
+        serve(svd)  # compile
+        t = timeit(lambda: serve(svd), n=3)
+        record(f"Serve[{ds}] MF top-20 lists, all {U} users", t, f"{U/t:,.0f} users/s")
+        serve(knn_ev)
+        t = timeit(lambda: serve(knn_ev), n=3)
+        record(f"Serve[{ds}] ItemKNN top-20 lists, all {U} users", t, f"{U/t:,.0f} users/s")
+
     _write(rows)
     print("wrote PERF.md")
 

@@ -36,3 +36,26 @@ def test_recommend_fused_matches_recommend(urm_pair):
     regular = model.recommend(users, cutoff=7, remove_seen_flag=True)
     fused = model.recommend_fused(users, cutoff=7, remove_seen_flag=True, tile=16)
     assert fused == regular
+
+
+def test_recommend_fused_similarity_matches_recommend(urm_pair):
+    """The similarity-family device serving path returns identical lists to
+    the reference-shaped recommend() (same scores, same tie resolution);
+    models without device operands fall back to recommend()."""
+    import numpy as np
+
+    from ganmf_tpu.models import ItemKNNCFRecommender, TopPop
+    from ganmf_tpu.models.itemknn import UserKNNCFRecommender
+
+    train, _ = urm_pair
+    users = np.arange(train.shape[0])
+
+    for model in (ItemKNNCFRecommender(train), UserKNNCFRecommender(train)):
+        model.fit(topK=9, shrink=0)
+        ref = model.recommend(users, cutoff=7, remove_seen_flag=True)
+        fused = model.recommend_fused(users, cutoff=7, remove_seen_flag=True)
+        assert fused == ref, type(model).__name__
+
+    tp = TopPop(train)
+    tp.fit()
+    assert tp.recommend_fused(users[:5], cutoff=7) == tp.recommend(users[:5], cutoff=7)
