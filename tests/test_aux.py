@@ -399,3 +399,24 @@ def test_smallest_k_mask_matches_rank_table():
     untied = jnp.where(inter, jnp.inf, jax.random.uniform(key, (64, 97)))
     got = smallest_k_mask(untied, k)
     assert bool(jnp.all(jnp.sum(got, axis=1) == k))
+
+
+def test_scatter_col_topk_dense():
+    """Dense device export of per-column top-K candidates matches the host
+    CSC assembly cell for cell, including negative values and dropped
+    exact zeros."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.ops.topk import scatter_col_topk_dense, tiled_topk
+
+    rng = np.random.RandomState(3)
+    W = rng.randn(37, 37).astype(np.float32)
+    W[rng.rand(37, 37) < 0.4] = 0.0
+    vals, idx = tiled_topk(jnp.asarray(W.T), 5)  # per column: top rows
+    dense = np.asarray(scatter_col_topk_dense(vals, idx))
+
+    expected = np.zeros_like(W)
+    v, ix = np.asarray(vals), np.asarray(idx)
+    for j in range(37):
+        expected[ix[j], j] = v[j]
+    np.testing.assert_array_equal(dense, expected)
