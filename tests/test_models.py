@@ -544,3 +544,36 @@ def test_device_authoritative_w_matches_host_csr_path():
             np.asarray(host_model.score_device(users)),
             rtol=0, atol=1e-6, err_msg=cls.__name__,
         )
+
+
+def test_save_load_roundtrip_device_authoritative_w(tmp_path, urm_pair):
+    """saveModel on a device-authoritative W lazily materializes the host
+    CSR; a fresh model loads it and scores identically (both KNN
+    orientations). recommend_fused falls back to recommend() when the W
+    cannot be device-resident."""
+    train, _ = urm_pair
+    users = np.arange(6)
+
+    for cls in (ItemKNNCFRecommender, UserKNNCFRecommender):
+        model = cls(train)
+        model.fit(topK=8, shrink=0)
+        assert model._W_sparse_store is None  # still device-authoritative
+        folder = str(tmp_path / cls.__name__) + "/"
+        model.saveModel(folder)
+        fresh = cls(train)
+        fresh.loadModel(folder, file_name=cls.RECOMMENDER_NAME)
+        np.testing.assert_allclose(
+            np.asarray(model.score_device(users)),
+            np.asarray(fresh.score_device(users)),
+            rtol=0, atol=0,
+        )
+
+    # fallback: no device residency -> recommend_fused == recommend via fallback
+    model = ItemKNNCFRecommender(train)
+    limit = ItemKNNCFRecommender._DENSE_W_BYTE_LIMIT
+    try:
+        ItemKNNCFRecommender._DENSE_W_BYTE_LIMIT = 0
+        model.fit(topK=8, shrink=0)
+        assert model.recommend_fused(users, cutoff=5) == model.recommend(users, cutoff=5)
+    finally:
+        ItemKNNCFRecommender._DENSE_W_BYTE_LIMIT = limit
