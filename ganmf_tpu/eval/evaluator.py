@@ -340,12 +340,20 @@ class _BaseEvaluator:
         # overhead — dominant on latency-bound links (LastFM's 1884 users
         # fit one block instead of two)
         block_size = int(min(4096, max(1, 1e8 / max(self.n_items, 1))))
+        users = np.asarray(self.usersToEvaluate, dtype=np.int64)
+        n_eval = len(users)
+        if n_eval:
+            # equalize blocks to the evaluated-user count: padding is pure
+            # wasted compute (LastFM's 1884 users padded to one 4096 block
+            # spent 2.2x the needed score/top-K work). Rounded to a lane
+            # multiple; per-dataset shapes, so one compile either way.
+            n_blocks = -(-n_eval // block_size)
+            per_block = -(-n_eval // n_blocks)
+            block_size = min(block_size, -(-per_block // 8) * 8)
         if self._plan is not None:
             # shard_map needs the user-block dimension to divide evenly
             shards = self._plan.n_user_shards
             block_size = int(np.ceil(block_size / shards) * shards)
-        users = np.asarray(self.usersToEvaluate, dtype=np.int64)
-        n_eval = len(users)
         cutoffs = tuple(self.cutoff_list)
 
         # Accumulate on device: per-block stats stay async (no host readback
