@@ -242,6 +242,17 @@ def main(datasets=("1M", "LastFM")):
         record(f"SLIM-BPR[{ds}] 1 epoch", timeit(slim_epoch, n=3),
                "ref ~8.6 s/epoch (ML-1M)" if ds == "1M" else "")
 
+        from ganmf_tpu.models.mf_sgd import MatrixFactorization_BPR
+
+        mf = MatrixFactorization_BPR(train)
+        mf.fit(epochs=1, num_factors=64)
+
+        def mf_epoch():
+            mf._run_epoch(0)
+            return float(jnp.sum(mf._state.U))
+
+        record(f"MF-BPR[{ds}] 1 epoch (K=64)", timeit(mf_epoch, n=3))
+
         # -- one-shot fits ------------------------------------------------------
         # warm-URM fit: the sklearn baseline operates on an in-RAM matrix, so
         # the comparable cost here excludes the one-time host->device staging
