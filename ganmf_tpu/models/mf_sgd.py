@@ -30,32 +30,56 @@ class _MFState(NamedTuple):
     cacheV: jnp.ndarray
 
 
-def _draw_samples(urm, warm_users, profile_pad, profile_len, key, shape, with_neg):
+def _reject_seen(profile_pad, u, cand):
+    """First candidate per sample not present in user u's padded index row
+    (the streamed-storage seen test: membership over the O(max_nnz) row
+    instead of a gather from the dense [U, I] matrix)."""
+    rows = jnp.take(profile_pad, u, axis=0)  # [..., L]
+    seen = jnp.any(rows[..., None, :] == cand[..., :, None], axis=-1)
+    first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=-1)
+    return jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+
+
+def _draw_samples(urm, val_pad, warm_users, profile_pad, profile_len, n_items,
+                  key, shape, with_neg):
     """(u, i, r_ui[, j-]) SGD samples of the given leading shape, drawn from
-    the epoch-constant tables in one vectorized pass."""
-    n_items = urm.shape[1]
+    the epoch-constant tables in one vectorized pass. With ``urm=None``
+    (streamed padded-CSR storage) the rating is read from the padded value
+    table at the drawn slot and the negative-sample rejection test is a
+    membership check against the padded index row — both produce the exact
+    values the dense reads would, so the two storages share one trajectory."""
     k_u, k_p, k_n = jax.random.split(key, 3)
     u = jnp.take(warm_users, jax.random.randint(k_u, shape, 0, warm_users.shape[0]))
     lens = jnp.take(profile_len, u)
     slot = jax.random.randint(k_p, shape, 0, jnp.iinfo(jnp.int32).max) % lens
     i = profile_pad[u, slot]
-    r_ui = urm[u, i]
+    r_ui = val_pad[u, slot] if urm is None else urm[u, i]
     if not with_neg:
         return u, i, r_ui, jnp.zeros_like(u)
     cand = jax.random.randint(k_n, shape + (8,), 0, n_items)
-    seen = urm[u[..., None], cand] != 0
-    first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=-1)
-    j = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    if urm is not None:
+        seen = urm[u[..., None], cand] != 0
+        first_ok = jnp.argmax(jnp.where(seen, 0, 1), axis=-1)
+        j = jnp.take_along_axis(cand, first_ok[..., None], axis=-1)[..., 0]
+    elif len(shape) == 2:
+        # presampled: the [n_chunks, chunk, 8, L] membership compare would
+        # not fit HBM in one pass — map it over the chunk axis
+        j = jax.lax.map(lambda ab: _reject_seen(profile_pad, ab[0], ab[1]), (u, cand))
+    else:
+        j = _reject_seen(profile_pad, u, cand)
     return u, i, r_ui, j
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_chunks", "chunk", "algorithm", "use_adagrad", "use_bias", "presample"),
+    static_argnames=(
+        "n_items", "n_chunks", "chunk", "algorithm", "use_adagrad", "use_bias", "presample",
+    ),
 )
 def _mf_epoch(
     state: _MFState,
-    urm: jnp.ndarray,  # [U, I] dense ratings
+    urm,  # [U, I] dense ratings, or None for streamed padded-CSR storage
+    val_pad: jnp.ndarray,  # [U, L] padded rating values (read when urm is None)
     warm_users: jnp.ndarray,
     profile_pad: jnp.ndarray,
     profile_len: jnp.ndarray,
@@ -64,6 +88,7 @@ def _mf_epoch(
     user_reg: float,
     item_reg: float,
     bias_reg: float,
+    n_items: int,
     n_chunks: int,
     chunk: int,
     algorithm: str,
@@ -76,8 +101,8 @@ def _mf_epoch(
             u, i, r_ui, j = xs
         else:
             u, i, r_ui, j = _draw_samples(
-                urm, warm_users, profile_pad, profile_len, xs, (chunk,),
-                with_neg=algorithm == "bpr",
+                urm, val_pad, warm_users, profile_pad, profile_len, n_items,
+                xs, (chunk,), with_neg=algorithm == "bpr",
             )
 
         Uu = jnp.take(state.U, u, axis=0)  # [C, K]
@@ -124,8 +149,8 @@ def _mf_epoch(
         # epoch-constant sampling tables: draw every chunk's samples in one
         # vectorized pass outside the serialized scan
         xs = _draw_samples(
-            urm, warm_users, profile_pad, profile_len, key, (n_chunks, chunk),
-            with_neg=algorithm == "bpr",
+            urm, val_pad, warm_users, profile_pad, profile_len, n_items,
+            key, (n_chunks, chunk), with_neg=algorithm == "bpr",
         )
     else:
         xs = jax.random.split(key, n_chunks)
@@ -152,6 +177,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         samples_per_epoch: int = None,
         mesh_plan=None,
         presample: bool = True,
+        urm_storage: str = "dense",
         **earlystopping_kwargs,
     ):
         # presample=True (default): every chunk's (u, i, r[, j]) samples are
@@ -163,6 +189,8 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         # changing the default RNG stream order is safe; pass False for the
         # in-scan stream. SLIM-BPR keeps presample=False because its parity
         # rows are stream-sensitive and the measured gain was only ~4%.
+        if urm_storage not in ("dense", "csr"):
+            raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
         self._presample = bool(presample)
         rng = np.random.RandomState(random_seed)
         K = int(num_factors)
@@ -171,15 +199,20 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         urm = self.URM_train
         lens = np.ediff1d(urm.indptr)
         warm = np.where(lens > 0)[0].astype(np.int32)
-        lmax = max(int(lens.max()) if len(lens) else 1, 1)
-        pad = np.zeros((self.n_users, lmax), dtype=np.int32)
-        for u in range(self.n_users):
-            s, e = urm.indptr[u], urm.indptr[u + 1]
-            pad[u, : e - s] = urm.indices[s:e]
 
-        self._urm_dev = self.device_urm().dense
+        from ganmf_tpu.data.device import padded_csr_from_sparse
+
+        # padded-CSR tables back sampling for both storages; with
+        # urm_storage="csr" they are the ONLY per-user state (O(U * max_nnz)
+        # instead of the O(U * I) dense matrix — same beyond-HBM storage as
+        # GANMF/DisGANMF/CFGAN/IALS, and trajectory-identical to dense mode
+        # because the rating is the padded value at the drawn slot and the
+        # negative-rejection test is an exact membership check)
+        pc = padded_csr_from_sparse(urm)
+        self._urm_dev = None if urm_storage == "csr" else self.device_urm().dense
         self._warm = jnp.asarray(warm)
-        self._pad = jnp.asarray(pad)
+        self._pad = pc.idx
+        self._val = pc.val
         self._lens = jnp.asarray(np.maximum(lens, 1).astype(np.int32))
 
         self._state = _MFState(
@@ -194,8 +227,10 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             # the dense [U, I] URM (the big buffer) shards over the mesh;
             # factor tables shard by their major axis; the same jitted epoch
             # runs SPMD via GSPMD — trajectory identical to single-device
-            self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
+            if self._urm_dev is not None:
+                self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
             self._pad = jax.device_put(self._pad, mesh_plan.user_rows)
+            self._val = jax.device_put(self._val, mesh_plan.user_rows)
             self._state = self._state._replace(
                 U=jax.device_put(self._state.U, mesh_plan.user_rows),
                 bU=jax.device_put(self._state.bU, mesh_plan.user_rows),
@@ -223,9 +258,9 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
     def _run_epoch(self, num_epoch):
         self._key, sub = jax.random.split(self._key)
         self._state = _mf_epoch(
-            self._state, self._urm_dev, self._warm, self._pad, self._lens, sub,
+            self._state, self._urm_dev, self._val, self._warm, self._pad, self._lens, sub,
             self._lr, *self._regs,
-            n_chunks=self._n_chunks, chunk=self._chunk,
+            n_items=self.n_items, n_chunks=self._n_chunks, chunk=self._chunk,
             algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self.USE_BIAS,
             presample=self._presample,
         )

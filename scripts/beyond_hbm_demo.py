@@ -92,6 +92,22 @@ def main():
         print(json.dumps({"bench": f"CFGAN beyond-HBM csr epoch (U={U}, I={I})",
                           "s_per_epoch": round(t, 2)}), flush=True)
 
+    if "mfbpr" in which:
+        from _timing import timeit
+
+        from ganmf_tpu.models import MatrixFactorization_BPR
+
+        mf = MatrixFactorization_BPR(train)
+        mf.fit(epochs=1, num_factors=64, batch_size=256, urm_storage="csr")
+
+        def mf_epoch():
+            mf._run_epoch(0)
+            return float(jnp.sum(mf._state.U))
+
+        t = timeit(mf_epoch, n=2)
+        print(json.dumps({"bench": f"MF-BPR beyond-HBM csr epoch (U={U}, I={I}, K=64)",
+                          "s_per_epoch": round(t, 2)}), flush=True)
+
     if "ials" in which:
         from _timing import timeit
 

@@ -48,6 +48,33 @@ def test_mf_sgd_family(urm_pair):
         assert np.isfinite(_map_at5(model, test)), cls.__name__
 
 
+def test_mf_sgd_csr_storage_matches_dense(urm_pair):
+    """urm_storage='csr' replaces the dense [U, I] ratings lookup with the
+    padded value table and the negative-rejection gather with a padded-row
+    membership test — same RNG stream, so the trajectories are identical."""
+    train, _ = urm_pair
+    rng = np.random.RandomState(7)
+    rated = train.copy()
+    rated.data = rng.randint(1, 6, size=rated.nnz).astype(np.float32)
+
+    # BPR exercises the membership-based negative rejection; FunkSVD the
+    # padded-value rating read (explicit 1-5 ratings so r_ui is nontrivial)
+    for cls, urm in ((MatrixFactorization_BPR, train), (MatrixFactorization_FunkSVD, rated)):
+        kwargs = dict(epochs=3, num_factors=6, learning_rate=0.05, batch_size=32)
+        dense = cls(urm)
+        dense.fit(**kwargs)
+        streamed = cls(urm)
+        streamed.fit(urm_storage="csr", **kwargs)
+        np.testing.assert_allclose(
+            streamed.USER_factors, dense.USER_factors, rtol=1e-6, atol=1e-7,
+            err_msg=cls.__name__,
+        )
+        np.testing.assert_allclose(
+            streamed.ITEM_factors, dense.ITEM_factors, rtol=1e-6, atol=1e-7,
+            err_msg=cls.__name__,
+        )
+
+
 def test_predefined_list():
     rec = sps.csr_matrix(np.array([[5, 3, 0], [2, 0, 0]], dtype=np.int32))
     model = PredefinedListRecommender(rec)

@@ -277,6 +277,28 @@ def test_ials_csr_storage_matches_dense(urm_pair):
         )
 
 
+def test_mf_sgd_csr_storage_composes_with_mesh(urm_pair):
+    """MF-BPR urm_storage='csr' + mesh_plan: the user-axis-sharded padded-CSR
+    fit equals the dense single-device fit (last streamable trainer from the
+    round-2 roadmap; CAAE/SLIM-BPR are principled exclusions — ROADMAP.md)."""
+    from ganmf_tpu.models import MatrixFactorization_BPR
+
+    train, _ = urm_pair
+    kwargs = dict(epochs=2, num_factors=4, batch_size=32)
+
+    dense = MatrixFactorization_BPR(train)
+    dense.fit(**kwargs)
+    streamed = MatrixFactorization_BPR(train)
+    streamed.fit(urm_storage="csr", mesh_plan=make_mesh(n_data=2, n_model=2), **kwargs)
+
+    np.testing.assert_allclose(
+        streamed.USER_factors, dense.USER_factors, rtol=2e-4, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        streamed.ITEM_factors, dense.ITEM_factors, rtol=2e-4, atol=2e-6
+    )
+
+
 def _assert_same_sparse(got, base):
     """Same sparsity pattern, values equal up to blockwise-matmul float
     jitter (the sharded Gram accumulates in a different order)."""
