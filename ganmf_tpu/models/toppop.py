@@ -32,6 +32,11 @@ class Random(Recommender):
     def fit(self, random_seed: int = 42):
         self._rng = np.random.RandomState(random_seed)
 
+    def _serving_traceable(self) -> bool:
+        # host RNG: under a traced scan the draw would be baked once and
+        # repeated for every block; serve_all falls back to eager blocks
+        return False
+
     def score_device(self, user_ids):
         scores = self._rng.rand(int(user_ids.shape[0]), self.n_items).astype(np.float32)
         return jnp.asarray(scores)

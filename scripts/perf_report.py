@@ -336,6 +336,18 @@ def main(datasets=("1M", "LastFM")):
         t = timeit(lambda: serve(knn_ev), n=3)
         record(f"Serve[{ds}] ItemKNN top-20 lists, all {U} users", t, f"{U/t:,.0f} users/s")
 
+        # batch export: the whole user base through ONE lax.map dispatch,
+        # host reads back only the [U, 20] winners (Recommender.serve_all)
+        def serve_batch(model):
+            idx, vals = model.serve_all(cutoff=20, block=2048)
+            return int(idx[-1, 0])
+        serve_batch(svd)  # compile
+        t = timeit(lambda: serve_batch(svd), n=3)
+        record(f"Serve[{ds}] MF top-20 export, serve_all 1 dispatch", t, f"{U/t:,.0f} users/s")
+        serve_batch(knn_ev)
+        t = timeit(lambda: serve_batch(knn_ev), n=3)
+        record(f"Serve[{ds}] ItemKNN top-20 export, serve_all 1 dispatch", t, f"{U/t:,.0f} users/s")
+
     _write(rows)
     print("wrote PERF.md")
 
