@@ -130,7 +130,16 @@ def feature_matching_cos_sim(
     return stats
 
 
+USAGE = (
+    "usage: ganmf-ablation <dataset> [binGANMF|feature-matching]"
+    " [--user|--item] [--epochs N] [--bp DIR]"
+)
+
+
 def main(args: List[str]):
+    if not args or "--help" in args or "-h" in args:
+        print(USAGE)
+        return
     dataset = args[0]
     study = args[1] if len(args) > 1 else "feature-matching"
     train_mode = "item" if "--item" in args else "user"

@@ -13,6 +13,9 @@ from ganmf_tpu.utils.analysis import describe_urm
 
 
 def main(args):
+    if not args or "--help" in args or "-h" in args:
+        print("usage: ganmf-describe <dataset>")
+        return
     dataset = args[0]
     splits = load_urms(dataset)
     for name, urm in [

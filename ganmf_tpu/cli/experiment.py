@@ -326,6 +326,15 @@ class RecSysExp:
         )
 
 
+USAGE = (
+    "usage: ganmf-exp [--build-dataset] <dataset> <rec> [--user|--item]"
+    " [<similarity>] [--evals N]\n"
+    "  datasets:     " + " ".join(sorted(ALL_DATASETS)) + "\n"
+    "  recommenders: " + " ".join(sorted(ALL_RECOMMENDERS)) + "\n"
+    "  similarities: " + " ".join(sorted(SIMILARITIES))
+)
+
+
 def main(arguments: List[str]):
     # 50 evals like the reference (RecSysExp.py:417); --evals N overrides
     EVALS = 50
@@ -337,6 +346,9 @@ def main(arguments: List[str]):
     similarity_mode = ""
 
     arguments = list(arguments)
+    if not arguments or "--help" in arguments or "-h" in arguments:
+        print(USAGE)
+        return
     if "--evals" in arguments:
         i = arguments.index("--evals")
         EVALS = int(arguments[i + 1])
@@ -361,6 +373,10 @@ def main(arguments: List[str]):
         load_urms(dataset)
         return
 
+    if algo is None or dataset is None:
+        raise SystemExit(
+            f"unrecognized or missing <dataset>/<rec> in {arguments!r}\n{USAGE}"
+        )
     dims = list(DICT_DIMENSIONS[algo])
     if algo in SIMILARITY_ALGOS:
         if sim is None:

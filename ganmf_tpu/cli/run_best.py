@@ -102,7 +102,19 @@ def run(
     return results_dict
 
 
+USAGE = (
+    "usage: ganmf-run-best <dataset> <rec> [--user|--item] [<similarity>]"
+    " [--force] [--bp DIR]\n"
+    "  datasets:     " + " ".join(sorted(ALL_DATASETS)) + "\n"
+    "  recommenders: " + " ".join(sorted(ALL_RECOMMENDERS)) + "\n"
+    "  similarities: " + " ".join(sorted(SIMILARITIES))
+)
+
+
 def main(args: List[str]):
+    if not args or "--help" in args or "-h" in args:
+        print(USAGE)
+        return
     algo = dataset = None
     sim = ""
     train_mode = ""
@@ -126,6 +138,8 @@ def main(args: List[str]):
             bp_dir = args[i]
         i += 1
 
+    if algo is None or dataset is None:
+        raise SystemExit(f"unrecognized or missing <dataset>/<rec> in {args!r}\n{USAGE}")
     run(dataset, algo, train_mode, sim, force=force, bp_dir=bp_dir)
 
 

@@ -223,13 +223,30 @@ class Recommender:
         pass
 
     # -- scoring ---------------------------------------------------------------
+    def _check_scoring_overridden(self):
+        """Subclasses must override score_device or _compute_item_score; the
+        base defaults delegate to each other, so an un-overridden pair would
+        recurse forever. Raise a clear error instead (models that only
+        override recommend(), e.g. PredefinedListRecommender, hit this)."""
+        if (
+            type(self).score_device is Recommender.score_device
+            and type(self)._compute_item_score is Recommender._compute_item_score
+        ):
+            raise NotImplementedError(
+                f"{type(self).__name__} overrides neither score_device nor "
+                "_compute_item_score; score-based serving (recommend with "
+                "scores / serve_all) is unavailable for it."
+            )
+
     def score_device(self, user_ids: jnp.ndarray) -> jnp.ndarray:
         """[B, I] device scores for a batch of users. Subclasses override."""
+        self._check_scoring_overridden()
         scores = self._compute_item_score(np.asarray(user_ids))
         return jnp.asarray(np.asarray(scores, dtype=np.float32))
 
     def _compute_item_score(self, user_id_array, items_to_compute=None) -> np.ndarray:
         """Numpy scoring path; default delegates to the device program."""
+        self._check_scoring_overridden()
         uids = jnp.asarray(np.atleast_1d(user_id_array), dtype=jnp.int32)
         scores = np.asarray(self.score_device(uids), dtype=np.float32)
         if items_to_compute is not None:
@@ -366,6 +383,8 @@ class Recommender:
         )
         n = len(uids_np)
         k = min(cutoff, self.n_items)
+        if n == 0:
+            return np.zeros((0, k), dtype=np.int32), np.zeros((0, k), dtype=np.float32)
         B = max(1, min(block, n))
 
         def one_block(uids):

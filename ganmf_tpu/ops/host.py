@@ -19,9 +19,25 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 import scipy.sparse as sps
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "cf_host.cpp")
-_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libcf_host.so")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native", "cf_host.cpp")
+
+
+def _lib_path() -> str:
+    """Build target for the shared library: next to the source when the
+    package dir is writable (dev checkout), else a per-user cache dir (pip
+    installs often land in read-only site-packages)."""
+    native_dir = os.path.dirname(_SRC)
+    if os.access(native_dir, os.W_OK):
+        return os.path.join(native_dir, "libcf_host.so")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "ganmf_tpu"
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libcf_host.so")
+
+
+_LIB_PATH = _lib_path()
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -79,3 +79,28 @@ def test_serve_all_untraceable_fallback(urm):
     idx, _ = model.serve_all(cutoff=10, remove_seen_flag=False, block=16)
     # two consecutive 16-user blocks must differ (independent draws)
     assert not np.array_equal(idx[:16], idx[16:32])
+
+
+def test_serve_all_empty_user_array(urm):
+    """Empty user_id_array returns empty (0, k) arrays, not an IndexError."""
+    model = TopPop(urm)
+    model.fit()
+    idx, vals = model.serve_all(cutoff=10, user_id_array=np.array([], dtype=np.int64))
+    assert idx.shape == (0, 10) and idx.dtype == np.int32
+    assert vals.shape == (0, 10) and vals.dtype == np.float32
+
+
+def test_scoreless_model_raises_clearly(urm):
+    """A model overriding neither score_device nor _compute_item_score (e.g.
+    PredefinedListRecommender) must raise NotImplementedError from the
+    score-based paths, not RecursionError."""
+    from ganmf_tpu.models import PredefinedListRecommender
+    import scipy.sparse as sps
+
+    rec = sps.csr_matrix(np.tile(np.arange(1, 6, dtype=np.int32), (urm.shape[0], 1)))
+    model = PredefinedListRecommender(rec)
+    assert model.recommend(0, cutoff=3) == [1, 2, 3]  # list serving still works
+    with pytest.raises(NotImplementedError):
+        model.serve_all(cutoff=5)
+    with pytest.raises(NotImplementedError):
+        model._compute_item_score(np.array([0]))
