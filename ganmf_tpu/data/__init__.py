@@ -1,4 +1,10 @@
-from ganmf_tpu.data.reader import InteractionReader, kcore_filter, split_urm
+from ganmf_tpu.data.reader import (
+    InteractionReader,
+    build_icm,
+    kcore_filter,
+    read_item_features,
+    split_urm,
+)
 from ganmf_tpu.data.splits import (
     SplitSet,
     load_reference_splits,

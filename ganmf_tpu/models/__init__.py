@@ -7,7 +7,7 @@ from ganmf_tpu.models.base import (
 from ganmf_tpu.models.toppop import TopPop, Random, GlobalEffects
 from ganmf_tpu.models.puresvd import PureSVDRecommender
 from ganmf_tpu.models.ials import IALSRecommender
-from ganmf_tpu.models.itemknn import ItemKNNCFRecommender, UserKNNCFRecommender
+from ganmf_tpu.models.itemknn import ItemKNNCBFRecommender, ItemKNNCFRecommender, UserKNNCFRecommender
 from ganmf_tpu.models.p3alpha import P3alphaRecommender, RP3betaRecommender
 from ganmf_tpu.models.slim_bpr import SLIM_BPR
 from ganmf_tpu.models.mf_sgd import (

@@ -104,6 +104,66 @@ class UserKNNCFRecommender(UserSimilarityRecommender):
             )
 
 
+class ItemKNNCBFRecommender(ItemSimilarityRecommender):
+    """Content-based item KNN (reference KNN/ItemKNNCBFRecommender.py:17-52).
+
+    Takes an ICM [n_items, n_features] alongside the URM; the item-item W is
+    the column similarity of ICM^T (items as columns), with optional
+    BM25/TF-IDF reweighting applied to the ICM rows exactly as the reference
+    does (ItemKNNCBFRecommender.py:39-45). Scoring is the usual URM[u] @ W
+    item-similarity path — content only enters through W.
+    """
+
+    RECOMMENDER_NAME = "ItemKNNCBFRecommender"
+
+    def __init__(self, ICM, URM_train):
+        super().__init__(URM_train)
+        ICM = check_matrix(ICM, "csr")
+        if ICM.shape[0] != self.n_items:
+            raise ValueError(
+                f"ICM has {ICM.shape[0]} rows but URM_train has {self.n_items} items"
+            )
+        self.ICM = ICM.copy()
+
+    def fit(
+        self,
+        topK: int = 50,
+        shrink: float = 100,
+        similarity: str = "cosine",
+        normalize: bool = True,
+        feature_weighting: str = "none",
+        **similarity_args,
+    ):
+        self.topK = topK
+        self.shrink = shrink
+        if feature_weighting not in FEATURE_WEIGHTING_VALUES:
+            raise ValueError(f"feature_weighting must be one of {FEATURE_WEIGHTING_VALUES}")
+
+        if feature_weighting == "BM25":
+            self.ICM = check_matrix(okapi_BM_25(self.ICM.astype(np.float32)), "csr")
+        elif feature_weighting == "TF-IDF":
+            self.ICM = check_matrix(TF_IDF(self.ICM.astype(np.float32)), "csr")
+
+        # similarity between items = columns of ICM^T ([F, I])
+        icm_t = self.ICM.T.tocsr()
+        n = self.n_items
+        if similarity_args.get("mesh_plan") is None and 4 * n * n <= self._DENSE_W_BYTE_LIMIT:
+            self._adopt_device_w(
+                compute_similarity(
+                    icm_t, similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, export="device", **similarity_args,
+                )
+            )
+        else:
+            self.W_sparse = check_matrix(
+                compute_similarity(
+                    icm_t, similarity=similarity, topK=topK, shrink=shrink,
+                    normalize=normalize, **similarity_args,
+                ),
+                "csr",
+            )
+
+
 class ItemKNNCustomSimilarityRecommender(ItemSimilarityRecommender):
     """Scores with a caller-provided item-item similarity
     (reference KNN/ItemKNNCustomSimilarityRecommender.py)."""

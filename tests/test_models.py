@@ -577,3 +577,62 @@ def test_save_load_roundtrip_device_authoritative_w(tmp_path, urm_pair):
         assert model.recommend_fused(users, cutoff=5) == model.recommend(users, cutoff=5)
     finally:
         ItemKNNCFRecommender._DENSE_W_BYTE_LIMIT = limit
+
+
+def test_itemknn_cbf_matches_numpy_cosine(urm_pair, tmp_path):
+    """ItemKNNCBF builds W from the ICM, not the URM: check against a dense
+    numpy cosine over ICM rows and confirm scoring uses the standard
+    URM[u] @ W path (reference KNN/ItemKNNCBFRecommender.py)."""
+    from ganmf_tpu.models import ItemKNNCBFRecommender
+
+    train, test = urm_pair
+    n_items = train.shape[1]
+    rng = np.random.RandomState(3)
+    icm = sps.csr_matrix((rng.rand(n_items, 25) < 0.2).astype(np.float32))
+
+    model = ItemKNNCBFRecommender(icm, train)
+    model.fit(topK=n_items, shrink=0, similarity="cosine", normalize=True)
+
+    A = np.asarray(icm.todense(), np.float64)  # [I, F]; cosine over rows
+    G = A @ A.T
+    norms = np.sqrt((A**2).sum(axis=1))
+    expected = G / (norms[:, None] * norms[None, :] + 1e-6)
+    np.fill_diagonal(expected, 0.0)
+    got = np.asarray(model.W_sparse.todense())
+    assert np.allclose(got, expected, atol=1e-4)
+    assert np.isfinite(_map_at5(model, test))
+
+    # feature weighting paths run and change W
+    for fw in ["BM25", "TF-IDF"]:
+        m2 = ItemKNNCBFRecommender(icm, train)
+        m2.fit(topK=10, shrink=0, similarity="cosine", feature_weighting=fw)
+        assert m2.W_sparse.nnz > 0
+
+    # shape guard
+    with pytest.raises(ValueError):
+        ItemKNNCBFRecommender(icm[: n_items - 1], train)
+
+
+def test_icm_ingestion(tmp_path):
+    """read_item_features + build_icm parse a movies.dat-style file into an
+    ICM aligned with the URM item reindex map."""
+    from ganmf_tpu.data import build_icm, read_item_features
+
+    path = tmp_path / "movies.dat"
+    path.write_text(
+        "1::Toy Story (1995)::Animation|Children's|Comedy\n"
+        "2::Jumanji (1995)::Adventure|Children's|Fantasy\n"
+        "5::Father of the Bride (1995)::Comedy\n"
+        "9::Sudden Death (1995)::Action\n"
+    )
+    item_ids, tokens = read_item_features(str(path))
+    assert len(item_ids) == len(tokens) == 8
+
+    # URM kept items 1, 2, 5 (9 was k-core filtered out)
+    col_to_item = {1: 0, 2: 1, 5: 2}
+    icm, feat_to_col = build_icm(item_ids, tokens, col_to_item)
+    assert icm.shape == (3, len(set(tokens)))
+    assert sorted(feat_to_col) == sorted(set(tokens))
+    # Toy Story has 3 features, Father of the Bride 1; filtered item dropped
+    assert icm[0].nnz == 3 and icm[2].nnz == 1
+    assert icm[0, feat_to_col["Comedy"]] == 1.0 == icm[2, feat_to_col["Comedy"]]
