@@ -421,7 +421,7 @@ class _BaseEvaluator:
                         # all-gather merge, exact for k <= shard width
                         from ganmf_tpu.ops.topk import sharded_topk
 
-                        scores = jax.device_put(scores, plan.urm)
+                        scores = plan.put(scores, plan.urm)
                         topk = sharded_topk(
                             scores, self.max_cutoff, plan, batch_axes=plan.user_axes
                         )

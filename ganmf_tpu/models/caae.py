@@ -469,7 +469,7 @@ class CAAE(AdversarialRecommender):
             from ganmf_tpu.parallel.distributed import shard_caae_params
 
             self.params = shard_caae_params(self.params, mesh_plan)
-            urm = jax.device_put(urm, mesh_plan.urm)
+            urm = mesh_plan.put(urm, mesh_plan.urm)
 
         m_batch_eff = int(min(m_batch, self.n_users))
         start_epoch = self.resume_from_checkpoint()  # also restores _epoch_key

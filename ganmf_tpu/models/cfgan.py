@@ -329,7 +329,7 @@ class CFGAN(AdversarialRecommender):
                 urm = shard_padded_csr(urm, mesh_plan)
                 self._train_padded = urm
             else:
-                urm = jax.device_put(urm, mesh_plan.urm)
+                urm = mesh_plan.put(urm, mesh_plan.urm)
 
         self._d_state = ADAM.init(self.params.D)
         self._g_state = ADAM.init(self.params.G)

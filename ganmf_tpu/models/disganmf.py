@@ -291,7 +291,7 @@ class DisGANMF(AdversarialRecommender):
             if urm_storage == "csr":  # user-axis-sharded streamed storage
                 urm = shard_padded_csr(urm, mesh_plan)
             else:
-                urm = jax.device_put(urm, mesh_plan.urm)
+                urm = mesh_plan.put(urm, mesh_plan.urm)
         self._d_state = ADAM.init(_d_params(self.params))
         self._g_state = (
             ADAM.init((self.params.item_emb,)),

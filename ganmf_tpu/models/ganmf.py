@@ -300,7 +300,7 @@ class GANMF(AdversarialRecommender):
                 # [B, I] block on device (GSPMD inserts the row gathers)
                 urm = shard_padded_csr(urm, mesh_plan)
             else:
-                urm = jax.device_put(urm, mesh_plan.urm)
+                urm = mesh_plan.put(urm, mesh_plan.urm)
 
         self._d_state = ADAM.init(_d_params(self.params))
         self._g_state = (

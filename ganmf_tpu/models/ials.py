@@ -212,8 +212,8 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
                     val=_safe_put(self._pc_items.val, mesh_plan.item_rows, mesh_plan),
                 )
             else:
-                self._W_users = jax.device_put(self._W_users, mesh_plan.urm)
-                self._P_users = jax.device_put(self._P_users, mesh_plan.urm)
+                self._W_users = mesh_plan.put(self._W_users, mesh_plan.urm)
+                self._P_users = mesh_plan.put(self._P_users, mesh_plan.urm)
 
         # chunk sized so the [C, K^2] Gram block stays under ~512 MB
         self._chunk_u = max(8, min(4096, int(512e6 / (4 * num_factors * num_factors))))

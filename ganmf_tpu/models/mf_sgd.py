@@ -228,7 +228,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             # factor tables shard by their major axis; the same jitted epoch
             # runs SPMD via GSPMD — trajectory identical to single-device
             if self._urm_dev is not None:
-                self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
+                self._urm_dev = mesh_plan.put(self._urm_dev, mesh_plan.urm)
             self._pad = jax.device_put(self._pad, mesh_plan.user_rows)
             self._val = jax.device_put(self._val, mesh_plan.user_rows)
             self._state = self._state._replace(

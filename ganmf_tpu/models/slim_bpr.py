@@ -252,7 +252,7 @@ class SLIM_BPR(ItemSimilarityRecommender, IncrementalTrainingEarlyStopping):
             # mesh model axis, the URM over (data, model); the same jitted
             # epoch runs SPMD with GSPMD-inserted gathers/scatters, so the
             # trajectory is bit-identical to single-device
-            self._urm_dev = jax.device_put(self._urm_dev, mesh_plan.urm)
+            self._urm_dev = mesh_plan.put(self._urm_dev, mesh_plan.urm)
             self._pad_dev = jax.device_put(self._pad_dev, mesh_plan.user_rows)
             self._state = self._state._replace(
                 W=jax.device_put(self._state.W, mesh_plan.item_rows),

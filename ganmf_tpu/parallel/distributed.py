@@ -53,19 +53,10 @@ def shard_ganmf_params(params: GANMFParams, plan: MeshPlan) -> GANMFParams:
 
 
 def _safe_put(x, sharding, plan: MeshPlan):
-    """device_put with a replicated fallback when a dimension does not
-    divide evenly over its mesh axes (e.g. DisGANMF's [n_items+1, nodes]
-    first kernel)."""
-    for dim, axes in enumerate(sharding.spec):
-        if axes is None:
-            continue
-        names = axes if isinstance(axes, tuple) else (axes,)
-        size = 1
-        for nm in names:
-            size *= plan.mesh.shape[nm]
-        if dim >= x.ndim or x.shape[dim] % size != 0:
-            return jax.device_put(x, plan.replicated)
-    return jax.device_put(x, sharding)
+    """device_put keeping every mesh axis that divides its dimension and
+    dropping the rest (e.g. DisGANMF's [n_items+1, nodes] first kernel
+    degrades to replicated on dim 0). Delegates to MeshPlan.put."""
+    return plan.put(x, sharding)
 
 
 def shard_padded_csr(pc, plan: MeshPlan):

@@ -72,6 +72,34 @@ class MeshPlan:
         """[B, ...] per-step user batches over data."""
         return self.named(self.user_axes)
 
+    def put(self, x, sharding: NamedSharding):
+        """``jax.device_put`` with graceful degradation: for every dimension
+        whose size does not divide over its assigned mesh axes, keep only the
+        longest prefix of axes that does divide (dropping to replicated for
+        that dimension if none does). Oddly-sized tensors — e.g. a 50-user
+        URM on a 4-way user axis — thus keep every compatible axis sharded
+        instead of failing or falling back to full replication."""
+        spec = list(sharding.spec)
+        changed = False
+        for dim, axes in enumerate(spec):
+            if axes is None or dim >= x.ndim:
+                continue
+            names = axes if isinstance(axes, tuple) else (axes,)
+            keep = []
+            size = 1
+            for nm in names:
+                size *= self.mesh.shape[nm]
+                if x.shape[dim] % size == 0:
+                    keep.append(nm)
+                else:
+                    break
+            if len(keep) != len(names):
+                spec[dim] = tuple(keep) if keep else None
+                changed = True
+        if changed:
+            sharding = self.named(*spec)
+        return jax.device_put(x, sharding)
+
     @property
     def n_slices(self) -> int:
         return self.mesh.shape[SLICE_AXIS] if SLICE_AXIS in self.mesh.axis_names else 1

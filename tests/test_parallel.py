@@ -134,9 +134,11 @@ def test_distributed_ganmf_step_runs_and_reduces():
     assert params.user_emb.sharding.spec == plan.user_rows.spec
 
 
-def test_distributed_step_matches_single_device():
-    """The sharded step computes the same math as an unsharded one."""
-    plan = make_mesh(n_data=2, n_model=2)
+@pytest.mark.parametrize("plan_kwargs", [dict(n_data=2, n_model=2), dict(n_data=2, n_model=2, n_slices=2)])
+def test_distributed_step_matches_single_device(plan_kwargs):
+    """The sharded step computes the same math as an unsharded one, on both
+    the 2-axis (data, model) and the 3-axis (slice, data, model) mesh."""
+    plan = make_mesh(**plan_kwargs)
     single = make_mesh(n_data=1, n_model=1)
     n_users, n_items, K, E, B = 16, 12, 3, 6, 4
 
@@ -180,6 +182,15 @@ def test_ganmf_fit_on_mesh(urm_pair):
     single.fit(num_factors=8, emb_dim=16, epochs=3, batch_size=16)
     np.testing.assert_allclose(
         np.asarray(model.params.user_emb), np.asarray(single.params.user_emb), rtol=2e-4, atol=2e-6
+    )
+
+    # and the full fit on the 3-axis (slice, data, model) mesh — the DCN
+    # outer-axis plan of parallel/mesh.py — matches the same trajectory
+    sliced = GANMF(train, mode="user", seed=42)
+    sliced.fit(num_factors=8, emb_dim=16, epochs=3, batch_size=16,
+               mesh_plan=make_mesh(n_data=2, n_model=2, n_slices=2))
+    np.testing.assert_allclose(
+        np.asarray(sliced.params.user_emb), np.asarray(single.params.user_emb), rtol=2e-4, atol=2e-6
     )
 
 
