@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sps
 
+from ganmf_tpu.data.device import padded_rows_dense
 from ganmf_tpu.eval.metrics import (
     METRIC_ORDER,
     SCALAR_FIELDS,
@@ -155,8 +156,13 @@ class _BaseEvaluator:
             users = np.array(sorted(set(users.tolist()) - set(self.ignore_users_ID.tolist())))
         self.usersToEvaluate = list(users)
 
-        # device-resident dense test ratings (block-gathered during eval)
-        self._test_dense = jnp.asarray(np.asarray(self.URM_test.todense(), dtype=np.float32))
+        # device-resident test ratings in padded-CSR form — O(nnz), not
+        # O(U*I): the dense [U, I] test matrix is 14.8 GB at ML-20M scale
+        # and would evict the model from HBM. Blocks densify their [B, I]
+        # rows on the fly (scatter from the padded arrays).
+        from ganmf_tpu.data.device import padded_csr_from_sparse
+
+        self._test_padded = padded_csr_from_sparse(self.URM_test)
         self._n_pos = jnp.asarray(n_ratings.astype(np.int32))
 
         if len(self.ignore_items_ID):
@@ -292,7 +298,7 @@ class _BaseEvaluator:
             rows = jnp.take(model._w_device(), uids, axis=0)  # [B, U]
             right = model.device_urm().dense  # [U, I]
         else:
-            rows = model.device_urm().rows(uids)  # [B, I]
+            rows = model.device_profile_rows(uids)  # [B, I]
             right = model._w_device()  # [I, I]
         if self.exclude_seen:
             seen = _seen_rows(model, uids)
@@ -374,7 +380,7 @@ class _BaseEvaluator:
             valid = np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]) if pad else np.ones(len(chunk), bool)
 
             uids_j = jnp.asarray(uids, dtype=jnp.int32)
-            test_rows = jnp.take(self._test_dense, uids_j, axis=0)
+            test_rows = padded_rows_dense(self._test_padded, uids_j, self.n_items)
 
             if use_fused or use_fused_sim:
                 if use_fused:

@@ -10,6 +10,7 @@ dense URM is cached in HBM once per model.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -179,18 +180,46 @@ class Recommender:
     def device_train_mask(self) -> jnp.ndarray:
         return self.device_urm().mask
 
+    # Above this dense-URM size the [U, I] matrix stays off-device and
+    # profile/seen rows are scatter-built per block from padded-CSR storage
+    # (O(nnz) HBM). ML-20M's 138k x 26.7k dense URM is 14.8 GB — past a
+    # v5e's HBM on its own. Override with $GANMF_TPU_DENSE_URM_GB.
+    _DENSE_URM_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_DENSE_URM_GB", "6")) * (1 << 30))
+
+    def _urm_streams(self) -> bool:
+        """True when the URM is served from padded-CSR storage: either the
+        model trained with urm_storage='csr', or the dense [U, I] matrix
+        would not reasonably fit in HBM."""
+        if getattr(self, "_stream_seen", False):
+            return True
+        return 4 * self.n_users * self.n_items > self._DENSE_URM_BYTE_LIMIT
+
+    def _padded_urm(self):
+        from ganmf_tpu.data.device import padded_csr_from_sparse
+
+        if getattr(self, "_seen_padded", None) is None:
+            self._seen_padded = padded_csr_from_sparse(self.URM_train)
+        return self._seen_padded
+
     def device_seen_rows(self, uids: jnp.ndarray) -> jnp.ndarray:
         """[B, I] bool seen-mask rows for the given users. Default gathers
-        from the dense [U, I] mask; models trained with streamed (padded-CSR)
-        URM storage build the rows by scatter instead, keeping eval O(nnz)
-        in HBM too."""
-        if getattr(self, "_stream_seen", False):
-            from ganmf_tpu.data.device import padded_csr_from_sparse, padded_rows_mask
+        from the dense [U, I] mask; streamed models (and any model whose
+        dense URM would exceed the HBM budget) build the rows by scatter
+        instead, keeping eval O(nnz) in HBM too."""
+        if self._urm_streams():
+            from ganmf_tpu.data.device import padded_rows_mask
 
-            if getattr(self, "_seen_padded", None) is None:
-                self._seen_padded = padded_csr_from_sparse(self.URM_train)
-            return padded_rows_mask(self._seen_padded, uids, self.n_items)
+            return padded_rows_mask(self._padded_urm(), uids, self.n_items)
         return jnp.take(self.device_train_mask(), uids, axis=0)
+
+    def device_profile_rows(self, uids: jnp.ndarray) -> jnp.ndarray:
+        """[B, I] f32 rating-profile rows; same streaming policy as
+        device_seen_rows."""
+        if self._urm_streams():
+            from ganmf_tpu.data.device import padded_rows_dense
+
+            return padded_rows_dense(self._padded_urm(), uids, self.n_items)
+        return self.device_urm().rows(uids)
 
     def _invalidate_device_cache(self):
         self._durm = None
@@ -657,14 +686,14 @@ class ItemSimilarityRecommender(Recommender):
         if W is False:
             profiles = self.URM_train[np.asarray(user_ids)]
             return jnp.asarray(profiles.dot(self.W_sparse).toarray().astype(np.float32))
-        profiles = self.device_urm().rows(user_ids)
+        profiles = self.device_profile_rows(user_ids)
         return jnp.dot(profiles, W, precision=jax.lax.Precision.HIGHEST)
 
     def _fused_serving_operands(self, uids: jnp.ndarray):
         W = self._w_device()
         if W is False:
             return None
-        return self.device_urm().rows(uids), W
+        return self.device_profile_rows(uids), W
 
     def _save_dict(self):
         return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}

@@ -64,10 +64,87 @@ def _puresvd_factors(A: jnp.ndarray, key, num_factors: int, n_iter: int):
     return U, (S[:, None] * Vt).T
 
 
+@functools.partial(jax.jit, static_argnames=("n_cols", "num_factors", "n_oversample", "n_iter", "chunk"))
+def _puresvd_factors_streamed(
+    idx: jnp.ndarray,  # [U_pad, L] padded-CSR column ids (sentinel n_cols)
+    val: jnp.ndarray,  # [U_pad, L] values (0 on pad slots)
+    key,
+    n_cols: int,
+    num_factors: int,
+    n_oversample: int = 10,
+    n_iter: int = 7,
+    chunk: int = 2048,
+):
+    """Randomized SVD whose A-products stream over padded-CSR row chunks.
+
+    The dense [U, I] matrix never materializes (14.8 GB at ML-20M); each
+    chunk densifies to [chunk, I] on the fly and feeds the same
+    CholeskyQR range-finder as the dense program. All FLOPs stay on the
+    MXU; HBM holds only the padded-CSR arrays, one chunk, and the thin
+    [U, k]/[I, k] iterates."""
+    hi = jax.lax.Precision.HIGHEST
+    n_rows_pad = idx.shape[0]
+    n_chunks = n_rows_pad // chunk
+
+    def _dense_chunk(c):
+        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)
+        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
+        D = jnp.zeros((chunk, n_cols + 1), jnp.float32)
+        return D.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
+
+    def matmul_A(omega):  # [I, k] -> [U_pad, k]
+        def body(c, Y):
+            Yc = jnp.dot(_dense_chunk(c), omega, precision=hi)
+            return jax.lax.dynamic_update_slice(Y, Yc, (c * chunk, 0))
+
+        return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((n_rows_pad, omega.shape[1]), jnp.float32))
+
+    def matmul_AT(Y):  # [U_pad, k] -> [I, k]
+        def body(c, Z):
+            Yc = jax.lax.dynamic_slice_in_dim(Y, c * chunk, chunk)
+            return Z + jnp.dot(_dense_chunk(c).T, Yc, precision=hi)
+
+        return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((n_cols, Y.shape[1]), jnp.float32))
+
+    k = num_factors + n_oversample
+    omega = jax.random.normal(key, (n_cols, k), dtype=jnp.float32)
+    Y = matmul_A(omega)
+    for _ in range(n_iter):
+        Y = _cholqr(Y)
+        Z = _cholqr(matmul_AT(Y))
+        Y = matmul_A(Z)
+    Q = _cholqr2(Y)
+    B = matmul_AT(Q).T  # [k, I]
+    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = jnp.dot(Q, Ub, precision=hi)
+    S, Vt = S[:num_factors], Vt[:num_factors]
+    return U[:, :num_factors], (S[:, None] * Vt).T
+
+
 class PureSVDRecommender(MatrixFactorizationRecommender):
     RECOMMENDER_NAME = "PureSVDRecommender"
 
     def fit(self, num_factors: int = 100, random_seed: int = 1234, n_iter: int = 7):
+        if self._urm_streams():
+            # dense [U, I] would blow the HBM budget: stream the A-products
+            # over padded-CSR chunks (same range-finder, same factors)
+            chunk = 2048
+            pc = self._padded_urm()
+            pad = (-self.n_users) % chunk
+            idx_a, val_a = pc.idx, pc.val
+            if pad:
+                idx_a = jnp.concatenate(
+                    [idx_a, jnp.full((pad, idx_a.shape[1]), self.n_items, dtype=idx_a.dtype)]
+                )
+                val_a = jnp.concatenate([val_a, jnp.zeros((pad, val_a.shape[1]), val_a.dtype)])
+            U, V = _puresvd_factors_streamed(
+                idx_a, val_a, jax.random.PRNGKey(random_seed), n_cols=self.n_items,
+                num_factors=int(num_factors), n_iter=int(n_iter), chunk=chunk,
+            )
+            U = U[: self.n_users]
+            float(U[0, 0])
+            self.USER_factors, self.ITEM_factors = U, V
+            return
         A = self.device_urm().dense
         U, V = _puresvd_factors(A, jax.random.PRNGKey(random_seed), num_factors=int(num_factors), n_iter=int(n_iter))
         # factors stay device-resident; the host view materializes lazily

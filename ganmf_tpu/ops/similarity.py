@@ -12,6 +12,7 @@ Only the final CSR assembly happens on host.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -20,6 +21,12 @@ import numpy as np
 import scipy.sparse as sps
 
 SIMILARITIES = ("cosine", "adjusted", "asymmetric", "pearson", "jaccard", "tanimoto", "dice", "tversky", "euclidean")
+
+# Above this dense size the [n_rows, n_cols] data matrix never materializes
+# on device; the Gram accumulates over padded-CSR row chunks instead
+# (ML-20M's 138k x 26.7k dense URM is 14.8 GB). Same knob as the model
+# layer's streaming policy.
+_DENSE_A_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_DENSE_URM_GB", "6")) * (1 << 30))
 
 
 def _w_block(
@@ -156,6 +163,66 @@ def _similarity_topk(
 
     vals, idx = tiled_topk(W.T, topk)  # per column j: top rows i
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk", "use_row_weights"))
+def _gram_streamed(idx, val, w_pad, n_cols: int, chunk: int, use_row_weights: bool):
+    """G = A^T diag(w) A accumulated over padded-CSR row chunks.
+
+    The dense [n_rows, n_cols] matrix never exists: each chunk scatters its
+    rows into a [chunk, n_cols] block (pad rows carry the sentinel column
+    n_cols and value 0, so they contribute nothing) and the MXU accumulates
+    chunk.T @ chunk into the f32 Gram. FLOPs are identical to the one-shot
+    matmul; HBM peaks at G + one chunk instead of the full matrix."""
+    hi = jax.lax.Precision.HIGHEST
+    n_chunks = idx.shape[0] // chunk
+
+    def body(c, G):
+        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)  # [C, L]
+        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
+        D = jnp.zeros((chunk, n_cols + 1), jnp.float32)
+        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
+        if use_row_weights:
+            w = jax.lax.dynamic_slice_in_dim(w_pad, c * chunk, chunk)
+            left = w[:, None] * D
+        else:
+            left = D
+        return G + jnp.dot(left.T, D, precision=hi)
+
+    G0 = jnp.zeros((n_cols, n_cols), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, G0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "topk", "n_rows", "normalize", "normalize_avg_row", "distance_mode", "use_row_weights"),
+)
+def _similarity_topk_from_gram(
+    G: jnp.ndarray,  # [n_cols, n_cols] precomputed Gram (row weights applied)
+    ss2: jnp.ndarray,  # [n_cols] per-column sum of squares
+    row_weights: jnp.ndarray,
+    n_rows: int,
+    mode: str,
+    topk: int,
+    shrink: float,
+    normalize: bool,
+    asymmetric_alpha: float,
+    tversky_alpha: float,
+    tversky_beta: float,
+    normalize_avg_row: bool,
+    distance_mode: str,
+    use_row_weights: bool,
+):
+    """Tail of _similarity_topk for a Gram built elsewhere (streamed or
+    host): same normalization kernel, same per-column top-K."""
+    W = _w_block(
+        G, ss2, ss2, 0, n_rows, row_weights, mode, shrink, normalize,
+        asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
+        distance_mode, use_row_weights,
+    )
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    return tiled_topk(W.T, topk)
 
 
 def _similarity_topk_sharded(
@@ -309,9 +376,6 @@ def compute_similarity(
     else:
         mode = similarity
 
-    from ganmf_tpu.data.device import dense_from_sparse
-
-    A = dense_from_sparse(X)
     rw = jnp.asarray(
         np.asarray(row_weights, dtype=np.float32) if row_weights is not None else np.ones(n_rows, np.float32)
     )
@@ -330,16 +394,50 @@ def compute_similarity(
     )
     if export not in ("csr", "device"):
         raise ValueError(f"export must be 'csr' or 'device', got '{export}'")
-    if mesh_plan is not None and mesh_plan.n_model > 1:
-        vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, **kernel_kwargs)
-        if export == "device":
-            raise ValueError("export='device' materializes [I, I] on one chip; use export='csr' with mesh_plan")
-    else:
-        vals, idx = _similarity_topk(A, rw, **kernel_kwargs)
+
+    streamed = (
+        4 * n_rows * n_cols > _DENSE_A_BYTE_LIMIT
+        and (mesh_plan is None or mesh_plan.n_model <= 1)
+    )
+    if streamed:
+        # beyond the dense-HBM budget: accumulate the Gram over padded-CSR
+        # row chunks, then run the identical normalize+top-K program on it
+        from ganmf_tpu.data.device import padded_csr_from_sparse
+
+        chunk = 2048
+        pc = padded_csr_from_sparse(X)
+        pad_rows = (-n_rows) % chunk
+        idx_a, val_a = pc.idx, pc.val
+        if pad_rows:
+            idx_a = jnp.concatenate(
+                [idx_a, jnp.full((pad_rows, idx_a.shape[1]), n_cols, dtype=idx_a.dtype)]
+            )
+            val_a = jnp.concatenate([val_a, jnp.zeros((pad_rows, val_a.shape[1]), val_a.dtype)])
+        w_pad = jnp.concatenate([rw, jnp.zeros((pad_rows,), rw.dtype)]) if pad_rows else rw
+        # row weights fold into the Gram except for euclidean, whose
+        # reference semantics weight the distances (handled in _w_block)
+        gram_rw = kernel_kwargs["use_row_weights"] and mode != "euclidean"
+        G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk, use_row_weights=gram_rw)
+        ss2 = jnp.asarray(np.asarray(X.multiply(X).sum(axis=0), dtype=np.float32).ravel())
+        vals, idx = _similarity_topk_from_gram(G, ss2, rw, n_rows, **kernel_kwargs)
         if export == "device":
             from ganmf_tpu.ops.topk import scatter_col_topk_dense
 
             return scatter_col_topk_dense(vals, idx)
+    else:
+        from ganmf_tpu.data.device import dense_from_sparse
+
+        A = dense_from_sparse(X)
+        if mesh_plan is not None and mesh_plan.n_model > 1:
+            vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, **kernel_kwargs)
+            if export == "device":
+                raise ValueError("export='device' materializes [I, I] on one chip; use export='csr' with mesh_plan")
+        else:
+            vals, idx = _similarity_topk(A, rw, **kernel_kwargs)
+            if export == "device":
+                from ganmf_tpu.ops.topk import scatter_col_topk_dense
+
+                return scatter_col_topk_dense(vals, idx)
     vals = np.asarray(vals, dtype=np.float32)  # [n_cols, topK] per column
     idx = np.asarray(idx)
 

@@ -28,6 +28,9 @@ SHAPES = {  # dataset -> (U, I, train_nnz)
     "1M": (6040, 3706, 799983),
     "LastFM": (1884, 17632, 74238),
     "hetrec2011": (2113, 10109, 684308),
+    # synthetic ML-20M stand-in (scripts/synthesize_ml20m.py), split by the
+    # repo's own reader; nnz from the committed 20M_URM_train build
+    "20M": (138493, 26744, 15107163),
 }
 
 
@@ -55,6 +58,11 @@ def _work(name):
         return None
     U, I, nnz = SHAPES[ds]
 
+    if name.startswith("GANMF[20M]"):
+        B, K, E = 512, 64, 128  # the scale-proof config (scripts/scale20m.py)
+        nb = -(-U // B)
+        per_batch = 2 * B * K * I + 8 * B * I * E
+        return ("flops", nb * 2 * 3 * per_batch)
     if name.startswith("GANMF["):
         B, K, E = 64, 250, 992
         nb = -(-U // B)

@@ -1,0 +1,84 @@
+"""Streamed (beyond-HBM) path equivalence: every component that switches
+representation above the dense-URM budget must produce the same numbers as
+the dense path on a small matrix where both run.
+
+These guards came out of the ML-20M scale proof (VERDICT r3 #1): the
+evaluator's dense test matrix, similarity Gram builds, PureSVD and
+profile-row gathers all assumed a dense [U, I] on device.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+from ganmf_tpu.eval import EvaluatorHoldout
+from ganmf_tpu.models import ItemKNNCFRecommender, PureSVDRecommender
+from ganmf_tpu.ops import similarity as simmod
+
+
+def _rand_urm(u=60, i=40, density=0.15, seed=0, binary=False):
+    rng = np.random.RandomState(seed)
+    m = (rng.rand(u, i) < density).astype(np.float32)
+    if not binary:
+        m *= rng.randint(1, 6, size=(u, i)).astype(np.float32)
+    m[0] = 0  # a cold user
+    csr = sps.csr_matrix(m)
+    csr.eliminate_zeros()
+    return csr
+
+
+@pytest.mark.parametrize("similarity", ["cosine", "jaccard", "asymmetric", "euclidean"])
+def test_streamed_gram_matches_dense(monkeypatch, similarity):
+    urm = _rand_urm()
+    dense = simmod.compute_similarity(urm, similarity=similarity, topK=10, shrink=1.0)
+    monkeypatch.setattr(simmod, "_DENSE_A_BYTE_LIMIT", 1)  # force streaming
+    streamed = simmod.compute_similarity(urm, similarity=similarity, topK=10, shrink=1.0)
+    np.testing.assert_allclose(dense.toarray(), streamed.toarray(), rtol=2e-5, atol=2e-6)
+
+
+def test_streamed_gram_row_weights(monkeypatch):
+    urm = _rand_urm(seed=3)
+    rw = np.random.RandomState(1).rand(urm.shape[0]).astype(np.float32) + 0.5
+    dense = simmod.compute_similarity(urm, similarity="cosine", topK=12, row_weights=rw)
+    monkeypatch.setattr(simmod, "_DENSE_A_BYTE_LIMIT", 1)
+    streamed = simmod.compute_similarity(urm, similarity="cosine", topK=12, row_weights=rw)
+    np.testing.assert_allclose(dense.toarray(), streamed.toarray(), rtol=2e-5, atol=2e-6)
+
+
+def test_puresvd_streamed_matches_dense(monkeypatch):
+    urm = _rand_urm(u=70, i=30, seed=5)
+    m_dense = PureSVDRecommender(urm)
+    m_dense.fit(num_factors=8, random_seed=7)
+    scores_dense = np.asarray(m_dense.score_device(np.arange(10)))
+
+    m_str = PureSVDRecommender(urm)
+    monkeypatch.setattr(type(m_str), "_DENSE_URM_BYTE_LIMIT", 1)
+    assert m_str._urm_streams()
+    m_str.fit(num_factors=8, random_seed=7)
+    scores_str = np.asarray(m_str.score_device(np.arange(10)))
+    # same RNG key, same range-finder: factors agree to float tolerance
+    np.testing.assert_allclose(scores_dense, scores_str, rtol=5e-4, atol=5e-5)
+
+
+def test_streamed_profile_rows_eval_equivalence(monkeypatch):
+    """Full evaluator run of a similarity model with the URM forced into
+    padded-CSR streaming equals the dense-URM run."""
+    train = _rand_urm(u=50, i=36, seed=11)
+    test = _rand_urm(u=50, i=36, seed=12)
+
+    knn = ItemKNNCFRecommender(train)
+    knn.fit(topK=8, shrink=0.5, similarity="cosine")
+    ev = EvaluatorHoldout(test, cutoff_list=[5, 10])
+    res_dense, _ = ev.evaluateRecommender(knn)
+
+    knn2 = ItemKNNCFRecommender(train)
+    monkeypatch.setattr(type(knn2), "_DENSE_URM_BYTE_LIMIT", 1, raising=False)
+    assert knn2._urm_streams()
+    knn2.fit(topK=8, shrink=0.5, similarity="cosine")
+    ev2 = EvaluatorHoldout(test, cutoff_list=[5, 10])
+    res_str, _ = ev2.evaluateRecommender(knn2)
+
+    for c in (5, 10):
+        for metric in ("MAP", "NDCG", "PRECISION", "RECALL", "RMSE"):
+            a, b = res_dense[c][metric], res_str[c][metric]
+            assert a == pytest.approx(b, rel=1e-5, abs=1e-7), (c, metric, a, b)
