@@ -9,6 +9,12 @@ the real dataset's published marginals:
     (the reference's Movielens version table, datasets/Movielens.py:25-57,
     names ml-20m; shape from the GroupLens README),
   * Zipf item popularity (movie popularity is heavy-tailed),
+  * 64 latent taste clusters: each cluster boosts a random ~8% genre set
+    of the catalog 10x, and every user draws from its cluster's tilted
+    popularity distribution — so the data carries real collaborative
+    structure a personalized model can learn (pure-iid popularity draws
+    would make TopPop the Bayes-optimal recommender and void any
+    "personalized beats TopPop" consistency receipt),
   * log-normal user activity clipped to [20, 1600] (ML-20M guarantees
     >= 20 ratings per user; the clip caps the padded-CSR row length the
     streamed trainers allocate),
@@ -53,15 +59,29 @@ def synthesize(path: str, seed: int = 20_000_263, verbose: bool = True) -> str:
     rng.shuffle(pop)
     pop /= pop.sum()
 
-    # -- draw (user, item) pairs: oversample iid item draws per user, drop
-    # within-user duplicates, then trim each user back to its nominal
-    # count. 25% oversampling empirically leaves every user above its
-    # nominal count at these popularity skews.
+    # -- latent taste clusters: cluster c boosts its genre set 10x
+    n_clusters = 64
+    cluster_of = rng.randint(0, n_clusters, size=N_USERS).astype(np.int32)
+
+    # -- draw (user, item) pairs: oversample draws per user from the
+    # user's cluster distribution, drop within-user duplicates, then trim
+    # each user back to its nominal count. 25% oversampling empirically
+    # leaves every user above its nominal count at these skews.
     over_counts = np.minimum((acts * 1.25).astype(np.int64), MAX_PER_USER + 400)
     users = np.repeat(np.arange(N_USERS, dtype=np.int32), over_counts)
     if verbose:
         print(f"drawing {len(users):,} candidate pairs ...", flush=True)
-    items = rng.choice(N_ITEMS, size=len(users), p=pop).astype(np.int32)
+    items = np.empty(len(users), dtype=np.int32)
+    user_cluster = cluster_of[users]
+    for c in range(n_clusters):
+        genre = rng.rand(N_ITEMS) < 0.08
+        p_c = pop * (1.0 + 9.0 * genre)
+        p_c /= p_c.sum()
+        sel = np.nonzero(user_cluster == c)[0]
+        # inverse-CDF sampling: one cumsum + bulk searchsorted per cluster
+        cdf = np.cumsum(p_c)
+        cdf[-1] = 1.0
+        items[sel] = np.searchsorted(cdf, rng.rand(len(sel))).astype(np.int32)
 
     keys = users.astype(np.int64) * N_ITEMS + items
     # keep first occurrence per (user, item); rows stay grouped by user
