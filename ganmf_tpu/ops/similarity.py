@@ -124,7 +124,7 @@ def _w_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "topk", "normalize", "normalize_avg_row", "distance_mode", "use_row_weights"),
+    static_argnames=("mode", "topk", "normalize", "normalize_avg_row", "distance_mode", "use_row_weights", "bf16_ok"),
 )
 def _similarity_topk(
     A: jnp.ndarray,  # [n_rows, n_cols] preprocessed data
@@ -139,6 +139,7 @@ def _similarity_topk(
     normalize_avg_row: bool,
     distance_mode: str,
     use_row_weights: bool,
+    bf16_ok: bool = False,
 ):
     hi = jax.lax.Precision.HIGHEST
     n_rows, n_cols = A.shape
@@ -146,6 +147,13 @@ def _similarity_topk(
     ss2 = jnp.sum(A * A, axis=0)  # sum of squares per column
     if use_row_weights and mode != "euclidean":
         G = jnp.dot((row_weights[:, None] * A).T, A, precision=hi)
+    elif bf16_ok:
+        # binary data: 0/1 are exact in bf16, products are 0/1, and the MXU
+        # accumulates in f32 (co-rating counts < 2^24) — the one-pass bf16
+        # Gram is BITWISE equal to the f32-HIGHEST (6-pass) build at 1/6 the
+        # MXU passes (on-chip receipt: scripts/bf16_gram_receipt.py)
+        Ab = A.astype(jnp.bfloat16)
+        G = jnp.dot(Ab.T, Ab, preferred_element_type=jnp.float32)
     else:
         G = jnp.dot(A.T, A, precision=hi)  # [n_cols, n_cols]
 
@@ -165,28 +173,38 @@ def _similarity_topk(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("n_cols", "chunk", "use_row_weights"))
-def _gram_streamed(idx, val, w_pad, n_cols: int, chunk: int, use_row_weights: bool):
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk", "use_row_weights", "bf16_ok"))
+def _gram_streamed(idx, val, w_pad, n_cols: int, chunk: int, use_row_weights: bool,
+                   bf16_ok: bool = False):
     """G = A^T diag(w) A accumulated over padded-CSR row chunks.
 
     The dense [n_rows, n_cols] matrix never exists: each chunk scatters its
     rows into a [chunk, n_cols] block (pad rows carry the sentinel column
     n_cols and value 0, so they contribute nothing) and the MXU accumulates
     chunk.T @ chunk into the f32 Gram. FLOPs are identical to the one-shot
-    matmul; HBM peaks at G + one chunk instead of the full matrix."""
+    matmul; HBM peaks at G + one chunk instead of the full matrix.
+
+    ``bf16_ok`` (binary data, no row weights): the chunk scatters and
+    multiplies in bf16 — exact for 0/1 values with disjoint CSR columns —
+    halving the dominant HBM scatter traffic and cutting the MXU passes
+    from 6 (f32 HIGHEST) to 1; the f32 accumulator keeps the result
+    bitwise equal (receipt: scripts/bf16_gram_receipt.py)."""
     hi = jax.lax.Precision.HIGHEST
     n_chunks = idx.shape[0] // chunk
+    dt = jnp.bfloat16 if bf16_ok else jnp.float32
 
     def body(c, G):
         bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)  # [C, L]
         bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
-        D = jnp.zeros((chunk, n_cols + 1), jnp.float32)
-        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
+        D = jnp.zeros((chunk, n_cols + 1), dt)
+        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv.astype(dt))[:, :n_cols]
         if use_row_weights:
             w = jax.lax.dynamic_slice_in_dim(w_pad, c * chunk, chunk)
             left = w[:, None] * D
         else:
             left = D
+        if bf16_ok:
+            return G + jnp.dot(left.T, D, preferred_element_type=jnp.float32)
         return G + jnp.dot(left.T, D, precision=hi)
 
     G0 = jnp.zeros((n_cols, n_cols), jnp.float32)
@@ -240,6 +258,7 @@ def _similarity_topk_sharded(
     normalize_avg_row: bool,
     distance_mode: str,
     use_row_weights: bool,
+    bf16_ok: bool = False,
 ):
     """Item-column-sharded similarity build (VERDICT r2 #6): each chip of
     the mesh's model axis computes the Gram block of *its* target columns
@@ -268,6 +287,10 @@ def _similarity_topk_sharded(
         ss2_targ = jnp.sum(A_blk * A_blk, axis=0)
         if use_row_weights and mode != "euclidean":
             G = jnp.dot((rw[:, None] * A_full).T, A_blk, precision=hi)
+        elif bf16_ok:
+            # exact for binary data (see _similarity_topk)
+            G = jnp.dot(A_full.astype(jnp.bfloat16).T, A_blk.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
         else:
             G = jnp.dot(A_full.T, A_blk, precision=hi)  # [n_cols, width]
         W = _w_block(
@@ -380,6 +403,17 @@ def compute_similarity(
         np.asarray(row_weights, dtype=np.float32) if row_weights is not None else np.ones(n_rows, np.float32)
     )
 
+    # Binary data (every implicit-feedback URM, and the jaccard/dice/tversky
+    # families which binarize above) takes the one-pass bf16 Gram: bitwise
+    # equal to f32-HIGHEST, ~6x fewer MXU passes. Opt out with
+    # GANMF_TPU_BF16_GRAM=0. Centered data (adjusted/pearson) and explicit
+    # ratings stay on the f32-HIGHEST floor — bf16 would round their values.
+    bf16_ok = (
+        row_weights is None
+        and bool(X.nnz == 0 or np.all(X.data == 1.0))
+        and os.environ.get("GANMF_TPU_BF16_GRAM", "1") != "0"
+    )
+
     kernel_kwargs = dict(
         mode=mode,
         topk=topK,
@@ -417,7 +451,8 @@ def compute_similarity(
         # row weights fold into the Gram except for euclidean, whose
         # reference semantics weight the distances (handled in _w_block)
         gram_rw = kernel_kwargs["use_row_weights"] and mode != "euclidean"
-        G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk, use_row_weights=gram_rw)
+        G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk,
+                           use_row_weights=gram_rw, bf16_ok=bf16_ok and not gram_rw)
         ss2 = jnp.asarray(np.asarray(X.multiply(X).sum(axis=0), dtype=np.float32).ravel())
         vals, idx = _similarity_topk_from_gram(G, ss2, rw, n_rows, **kernel_kwargs)
         if export == "device":
@@ -429,11 +464,11 @@ def compute_similarity(
 
         A = dense_from_sparse(X)
         if mesh_plan is not None and mesh_plan.n_model > 1:
-            vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, **kernel_kwargs)
+            vals, idx = _similarity_topk_sharded(A, rw, mesh_plan, bf16_ok=bf16_ok, **kernel_kwargs)
             if export == "device":
                 raise ValueError("export='device' materializes [I, I] on one chip; use export='csr' with mesh_plan")
         else:
-            vals, idx = _similarity_topk(A, rw, **kernel_kwargs)
+            vals, idx = _similarity_topk(A, rw, bf16_ok=bf16_ok, **kernel_kwargs)
             if export == "device":
                 from ganmf_tpu.ops.topk import scatter_col_topk_dense
 

@@ -114,3 +114,60 @@ def test_device_export_equals_csr_export(data):
 def test_device_export_rejects_bad_args(data):
     with pytest.raises(ValueError):
         compute_similarity(data, topK=5, export="parquet")
+
+
+def test_bf16_gram_exact_on_binary():
+    """Binary data takes the one-pass bf16 Gram (similarity.py bf16_ok):
+    0/1 are exact in bf16 and the accumulator is f32, so the Gram — and
+    therefore the pruned W — must be bitwise identical to the f32-HIGHEST
+    build (on-chip receipt: scripts/bf16_gram_receipt.py)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from ganmf_tpu.data.device import padded_csr_from_sparse
+    from ganmf_tpu.ops.similarity import _gram_streamed
+
+    urm = random_urm(64, 48, density=0.3, seed=3, implicit=True)
+    pc = padded_csr_from_sparse(urm)
+    w = jnp.ones((urm.shape[0],), jnp.float32)
+    G_hi = _gram_streamed(pc.idx, pc.val, w, n_cols=48, chunk=16,
+                          use_row_weights=False, bf16_ok=False)
+    G_bf = _gram_streamed(pc.idx, pc.val, w, n_cols=48, chunk=16,
+                          use_row_weights=False, bf16_ok=True)
+    assert bool(jnp.array_equal(G_hi, G_bf))
+
+    for sim in ("cosine", "jaccard"):
+        ws = []
+        for flag in ("0", "1"):
+            os.environ["GANMF_TPU_BF16_GRAM"] = flag
+            try:
+                ws.append(compute_similarity(urm, similarity=sim, topK=7))
+            finally:
+                os.environ.pop("GANMF_TPU_BF16_GRAM", None)
+        assert (ws[0] != ws[1]).nnz == 0, sim
+
+
+def test_padded_csr_device_build_matches_host():
+    """The device-built padded planes (data.device._padded_build) must equal
+    the host construction for general (non-binary) and binary matrices."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.data.device import PaddedCSR, padded_csr_from_sparse
+
+    for implicit in (True, False):
+        urm = random_urm(37, 29, density=0.2, seed=11, implicit=implicit)
+        csr = urm.tocsr().astype(np.float32)
+        R, C = csr.shape
+        lens = np.ediff1d(csr.indptr)
+        L = max(int(lens.max()), 1)
+        idx = np.full((R, L), C, dtype=np.int32)
+        val = np.zeros((R, L), np.float32)
+        rows = np.repeat(np.arange(R), lens)
+        offs = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], lens)
+        idx[rows, offs] = csr.indices
+        val[rows, offs] = csr.data
+        got = padded_csr_from_sparse(urm)
+        assert isinstance(got, PaddedCSR)
+        assert np.array_equal(np.asarray(got.idx), idx), implicit
+        assert np.array_equal(np.asarray(got.val), val), implicit
