@@ -383,10 +383,21 @@ class _BaseEvaluator:
             test_rows = padded_rows_dense(self._test_padded, uids_j, self.n_items)
 
             if use_fused or use_fused_sim:
-                if use_fused:
-                    top_vals, top_idx, user_rmse = self._fused_block(recommender_object, uids)
-                else:
-                    top_vals, top_idx, user_rmse = self._fused_sim_block(recommender_object, uids)
+                try:
+                    if use_fused:
+                        top_vals, top_idx, user_rmse = self._fused_block(recommender_object, uids)
+                    else:
+                        top_vals, top_idx, user_rmse = self._fused_sim_block(recommender_object, uids)
+                except Exception as err:  # pragma: no cover - HBM-pressure path
+                    # the fused rankers hold extra [B, I]/[I, I] operands; at
+                    # marginal HBM (e.g. a 2.9 GB device W right after large
+                    # trainer buffers) they can OOM where the plain streamed
+                    # path still fits — degrade for the rest of this eval
+                    # instead of failing it
+                    if "RESOURCE_EXHAUSTED" not in str(err):
+                        raise
+                    use_fused = use_fused_sim = False
+                    continue  # redo this block through the streamed path
                 if _debug_enabled() and bool(jnp.isnan(top_vals).any()):
                     raise FloatingPointError(
                         f"NaN model scores in evaluation block starting at user index {start}"

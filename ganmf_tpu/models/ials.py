@@ -12,6 +12,7 @@ untouched, matching the reference's warm-only updates.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,6 +99,73 @@ def _als_half_step_csr(idx: jnp.ndarray, val: jnp.ndarray, n_cols: int, Y: jnp.n
     return xs.reshape(-1, K)[:N]
 
 
+# Above this padded-plane size (bytes of idx+val for one orientation) the
+# streamed IALS storage switches from padded-CSR to flat CSR — padding is
+# O(rows * max_row_nnz) and explodes on head-heavy orientations.
+_PAD_PLANE_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_PAD_PLANE_GB", "2")) * (1 << 30))
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk", "scaling", "seg"))
+def _als_half_step_flat(indptr, cols, vals, n_cols: int, Y: jnp.ndarray,
+                        reg: float, alpha: float, epsilon: float, chunk: int,
+                        scaling: str, seg: int):
+    """Flat-CSR variant of _als_half_step_csr for heavily skewed row
+    lengths. Padded-CSR planes cost O(rows * max_row_nnz): at ML-20M the
+    most-rated item has ~100k raters, so the ITEM orientation would pad to
+    ~20 GB — past HBM. Here the CSR stays flat (exactly O(nnz)); each chunk
+    slices its contiguous nnz segment (host-precomputed bound ``seg``),
+    recovers local row ids with a searchsorted over the chunk's indptr
+    window, scatters its [C, n_cols] block through segment_sum and runs
+    the identical confidence -> Gram -> CG pipeline."""
+    N = indptr.shape[0] - 1  # rows, already padded to a chunk multiple
+    K = Y.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    YtY = jnp.dot(Y.T, Y, precision=hi) + reg * jnp.eye(K, dtype=Y.dtype)
+    Z = (Y[:, :, None] * Y[:, None, :]).reshape(n_cols, K * K)
+    n_chunks = N // chunk
+
+    def body(carry, c):
+        ip = jax.lax.dynamic_slice(indptr, (c * chunk,), (chunk + 1,))
+        start = ip[0]
+        pos = start + jnp.arange(seg, dtype=jnp.int32)
+        sc = jax.lax.dynamic_slice(cols, (start,), (seg,))
+        sv = jax.lax.dynamic_slice(vals, (start,), (seg,))
+        valid = pos < ip[-1]
+        local = jnp.clip(jnp.searchsorted(ip, pos, side="right") - 1, 0, chunk - 1)
+        lin = local * (n_cols + 1) + jnp.where(valid, sc, n_cols)
+        flat = jax.ops.segment_sum(jnp.where(valid, sv, 0.0), lin,
+                                   num_segments=chunk * (n_cols + 1))
+        r = flat.reshape(chunk, n_cols + 1)[:, :n_cols]
+        obs = (r != 0).astype(r.dtype)
+        if scaling == "linear":
+            conf = (1.0 + alpha * r) * obs
+        else:
+            conf = (1.0 + alpha * jnp.log(1.0 + r / epsilon)) * obs
+        w = conf - obs
+        A = jnp.dot(w, Z, precision=hi).reshape(chunk, K, K)
+        b = jnp.dot(conf, Y, precision=hi)
+        x = _batched_cg(YtY[None] + A, b, iters=K + 16)
+        return carry, x
+
+    _, xs = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    return xs.reshape(-1, K)[:N]
+
+
+def _flat_csr_device(csr, chunk: int):
+    """Device arrays + static per-chunk nnz bound for _als_half_step_flat."""
+    indptr = csr.indptr.astype(np.int32)
+    N = csr.shape[0]
+    pad_rows = (-N) % chunk
+    if pad_rows:
+        indptr = np.concatenate([indptr, np.full(pad_rows, indptr[-1], np.int32)])
+    bounds = indptr[::chunk]
+    seg = int((bounds[1:] - bounds[:-1]).max()) if len(bounds) > 1 else max(int(csr.nnz), 1)
+    seg = max(-(-seg // 8) * 8, 8)
+    cols = np.concatenate([csr.indices.astype(np.int32), np.full(seg, csr.shape[1], np.int32)])
+    vals = np.concatenate([csr.data.astype(np.float32), np.zeros(seg, np.float32)])
+    return jnp.asarray(indptr), jnp.asarray(cols), jnp.asarray(vals), seg
+
+
 def _batched_cg(A: jnp.ndarray, b: jnp.ndarray, iters: int, rtol: float = 1e-5) -> jnp.ndarray:
     """Solve the batch of SPD K x K systems by conjugate gradients. A
     batched LU (jnp.linalg.solve) runs off the MXU and dominated the IALS
@@ -175,13 +243,37 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
         self.USER_factors = (num_factors ** -0.5 * rng.random_sample((self.n_users, num_factors))).astype(np.float32)
         self.ITEM_factors = (num_factors ** -0.5 * rng.random_sample((self.n_items, num_factors))).astype(np.float32)
 
+        # chunk sized so the dominant per-chunk block — max of the [C, K^2]
+        # Gram slab and the [C, n_cols] confidence block — stays under
+        # ~512 MB. The two orientations see different n_cols (items for the
+        # user step, users for the item step), so they get separate chunks.
+        def _chunk_for(n_cols):
+            return max(8, min(4096, int(512e6 / (4 * max(num_factors * num_factors, n_cols)))))
+
+        self._chunk_u = _chunk_for(self.n_items)
+        self._chunk_i = _chunk_for(self.n_users)
+
         if urm_storage == "csr":
-            # streamed: O(nnz) padded-CSR storage per orientation; each
-            # half-step chunk builds its confidence block on the fly
+            # streamed: O(nnz) storage per orientation; each half-step chunk
+            # builds its confidence block on the fly. Padded planes cost
+            # O(rows * max_row_nnz) — fine for user profiles, catastrophic
+            # for head-heavy item orientations (ML-20M's top item has ~100k
+            # raters -> ~20 GB padded) — so each orientation independently
+            # falls back to exactly-O(nnz) flat CSR when padding would
+            # exceed the budget.
             from ganmf_tpu.data.device import padded_csr_from_sparse
 
-            self._pc_users = padded_csr_from_sparse(self.URM_train)
-            self._pc_items = padded_csr_from_sparse(self.URM_train.T.tocsr())
+            def _storage_for(csr, chunk):
+                lens = np.ediff1d(csr.indptr)
+                L = max(int(lens.max()) if csr.shape[0] else 0, 1)
+                if 8 * csr.shape[0] * L > _PAD_PLANE_BYTE_LIMIT:
+                    return ("flat", _flat_csr_device(csr, chunk))
+                return ("padded", padded_csr_from_sparse(csr))
+
+            self._store_users = _storage_for(self.URM_train, self._chunk_u)
+            self._store_items = _storage_for(self.URM_train.T.tocsr(), self._chunk_i)
+            self._pc_users = self._store_users[1] if self._store_users[0] == "padded" else None
+            self._pc_items = self._store_items[1] if self._store_items[0] == "padded" else None
         else:
             R = self.device_urm().dense  # [U, I]
             obs = (R != 0).astype(jnp.float32)
@@ -206,18 +298,21 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
             if urm_storage == "csr":
                 from ganmf_tpu.parallel.distributed import _safe_put, shard_padded_csr
 
+                if self._pc_users is None or self._pc_items is None:
+                    raise NotImplementedError(
+                        "mesh_plan with flat-CSR IALS storage is not supported; "
+                        "raise GANMF_TPU_PAD_PLANE_GB or drop the mesh plan"
+                    )
                 self._pc_users = shard_padded_csr(self._pc_users, mesh_plan)
                 self._pc_items = type(self._pc_items)(
                     idx=_safe_put(self._pc_items.idx, mesh_plan.item_rows, mesh_plan),
                     val=_safe_put(self._pc_items.val, mesh_plan.item_rows, mesh_plan),
                 )
+                self._store_users = ("padded", self._pc_users)
+                self._store_items = ("padded", self._pc_items)
             else:
                 self._W_users = mesh_plan.put(self._W_users, mesh_plan.urm)
                 self._P_users = mesh_plan.put(self._P_users, mesh_plan.urm)
-
-        # chunk sized so the [C, K^2] Gram block stays under ~512 MB
-        self._chunk_u = max(8, min(4096, int(512e6 / (4 * num_factors * num_factors))))
-        self._chunk_i = self._chunk_u
 
         self._update_best_model()
         self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
@@ -227,15 +322,26 @@ class IALSRecommender(MatrixFactorizationRecommender, IncrementalTrainingEarlySt
         self._invalidate_device_cache()
 
     # -- epoch ------------------------------------------------------------------
+    def _half_step_streamed(self, store, n_rows, n_cols, Y, chunk):
+        kind, data = store
+        if kind == "flat":
+            indptr, cols, vals, seg = data
+            out = _als_half_step_flat(
+                indptr, cols, vals, n_cols, Y,
+                self.reg, self.alpha, self.epsilon, chunk=chunk,
+                scaling=self._scaling, seg=seg)
+            return out[:n_rows]  # flat storage pads rows to a chunk multiple
+        return _als_half_step_csr(
+            data.idx, data.val, n_cols, Y,
+            self.reg, self.alpha, self.epsilon, chunk=chunk, scaling=self._scaling)
+
     def _run_epoch(self, num_epoch):
         if self._storage == "csr":
-            new_U = _als_half_step_csr(
-                self._pc_users.idx, self._pc_users.val, self.n_items, self._V_dev,
-                self.reg, self.alpha, self.epsilon, chunk=self._chunk_u, scaling=self._scaling)
+            new_U = self._half_step_streamed(
+                self._store_users, self.n_users, self.n_items, self._V_dev, self._chunk_u)
             self._U_dev = jnp.where(self._warm_users[:, None], new_U, self._U_dev)
-            new_V = _als_half_step_csr(
-                self._pc_items.idx, self._pc_items.val, self.n_users, self._U_dev,
-                self.reg, self.alpha, self.epsilon, chunk=self._chunk_i, scaling=self._scaling)
+            new_V = self._half_step_streamed(
+                self._store_items, self.n_items, self.n_users, self._U_dev, self._chunk_i)
             self._V_dev = jnp.where(self._warm_items[:, None], new_V, self._V_dev)
             return
         new_U = _als_half_step(self._W_users, self._P_users, self._V_dev, self.reg, chunk=self._chunk_u)

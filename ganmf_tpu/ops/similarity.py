@@ -243,6 +243,64 @@ def _similarity_topk_from_gram(
     return tiled_topk(W.T, topk)
 
 
+# Above this Gram size (bytes of the f32 [I, I] matrix) the streamed build
+# processes target columns in blocks: the full Gram never materializes, so
+# single-chip builds clear the HBM ceiling on the catalog size (f32 G at
+# I=64k is 17 GB — past a v5e on its own). Override with $GANMF_TPU_GRAM_GB.
+_GRAM_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_GRAM_GB", "6")) * (1 << 30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_rows", "n_cols", "chunk", "width", "mode", "topk", "shrink",
+        "normalize", "asymmetric_alpha", "tversky_alpha", "tversky_beta",
+        "normalize_avg_row", "distance_mode", "use_row_weights", "bf16_ok",
+    ),
+)
+def _similarity_topk_colblock(
+    idx, val, w_pad, ss2, rw, off,
+    *, n_rows: int, n_cols: int, chunk: int, width: int, mode: str, topk: int,
+    shrink: float, normalize: bool, asymmetric_alpha: float,
+    tversky_alpha: float, tversky_beta: float, normalize_avg_row: bool,
+    distance_mode: str, use_row_weights: bool, bf16_ok: bool,
+):
+    """One target-column block of the streamed similarity build: accumulate
+    the [n_cols, width] Gram slab over padded-CSR row chunks, normalize with
+    _w_block and rank the block's columns. ``off`` is traced, so every block
+    shares one compiled program. HBM peak is one slab + one chunk — the
+    full [I, I] Gram never exists."""
+    hi = jax.lax.Precision.HIGHEST
+    n_chunks = idx.shape[0] // chunk
+    dt = jnp.bfloat16 if bf16_ok else jnp.float32
+    gram_rw = use_row_weights and mode != "euclidean"
+
+    def body(c, G):
+        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)  # [C, L]
+        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
+        D = jnp.zeros((chunk, n_cols + 1), dt)
+        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv.astype(dt))[:, :n_cols]
+        T = jax.lax.dynamic_slice(D, (0, off), (chunk, width))
+        if gram_rw:
+            w = jax.lax.dynamic_slice_in_dim(w_pad, c * chunk, chunk)
+            left = w[:, None] * D.astype(jnp.float32)
+            return G + jnp.dot(left.T, T.astype(jnp.float32), precision=hi)
+        if bf16_ok:
+            return G + jnp.dot(D.T, T, preferred_element_type=jnp.float32)
+        return G + jnp.dot(D.T, T, precision=hi)
+
+    G = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((n_cols, width), jnp.float32))
+    ss2_targ = jax.lax.dynamic_slice(ss2, (off,), (width,))
+    W = _w_block(
+        G, ss2, ss2_targ, off, n_rows, rw, mode, shrink, normalize,
+        asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
+        distance_mode, use_row_weights,
+    )
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    return tiled_topk(W.T, topk)  # [width, k] for this block's columns
+
+
 def _similarity_topk_sharded(
     A: jnp.ndarray,
     row_weights: jnp.ndarray,
@@ -451,14 +509,41 @@ def compute_similarity(
         # row weights fold into the Gram except for euclidean, whose
         # reference semantics weight the distances (handled in _w_block)
         gram_rw = kernel_kwargs["use_row_weights"] and mode != "euclidean"
-        G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk,
-                           use_row_weights=gram_rw, bf16_ok=bf16_ok and not gram_rw)
         ss2 = jnp.asarray(np.asarray(X.multiply(X).sum(axis=0), dtype=np.float32).ravel())
-        vals, idx = _similarity_topk_from_gram(G, ss2, rw, n_rows, **kernel_kwargs)
-        if export == "device":
-            from ganmf_tpu.ops.topk import scatter_col_topk_dense
+        if 4 * n_cols * n_cols > _GRAM_BYTE_LIMIT:
+            # the full f32 Gram would blow the HBM budget: rank target
+            # columns in slabs; every block reuses one compiled program
+            # (off is traced) and readback is [width, k] per block
+            if export == "device":
+                raise ValueError(
+                    "export='device' materializes [I, I] on one chip; the "
+                    "column-blocked build exists because that does not fit"
+                )
+            width = int(min(n_cols, max(512, _GRAM_BYTE_LIMIT // 2 // (4 * n_cols) // 256 * 256)))
+            vals_np = np.empty((n_cols, topK), np.float32)
+            idx_np = np.empty((n_cols, topK), np.int64)
+            done = 0
+            while done < n_cols:
+                off = min(done, n_cols - width)
+                v_b, i_b = _similarity_topk_colblock(
+                    idx_a, val_a, w_pad, ss2, rw, off,
+                    n_rows=n_rows, n_cols=n_cols, chunk=chunk, width=width,
+                    bf16_ok=bf16_ok and not gram_rw, **kernel_kwargs,
+                )
+                # the last block may overlap already-done columns; keep the tail
+                skip = done - off
+                vals_np[done : off + width] = np.asarray(v_b)[skip:]
+                idx_np[done : off + width] = np.asarray(i_b)[skip:]
+                done = off + width
+            vals, idx = vals_np, idx_np
+        else:
+            G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk,
+                               use_row_weights=gram_rw, bf16_ok=bf16_ok and not gram_rw)
+            vals, idx = _similarity_topk_from_gram(G, ss2, rw, n_rows, **kernel_kwargs)
+            if export == "device":
+                from ganmf_tpu.ops.topk import scatter_col_topk_dense
 
-            return scatter_col_topk_dense(vals, idx)
+                return scatter_col_topk_dense(vals, idx)
     else:
         from ganmf_tpu.data.device import dense_from_sparse
 

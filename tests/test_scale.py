@@ -82,3 +82,28 @@ def test_streamed_profile_rows_eval_equivalence(monkeypatch):
         for metric in ("MAP", "NDCG", "PRECISION", "RECALL", "RMSE"):
             a, b = res_dense[c][metric], res_str[c][metric]
             assert a == pytest.approx(b, rel=1e-5, abs=1e-7), (c, metric, a, b)
+
+
+def test_ials_flat_csr_matches_padded_and_dense(monkeypatch):
+    """Head-heavy orientations (ML-20M: top item has ~100k raters) switch
+    the streamed IALS storage from padded-CSR (O(rows * max_row_nnz)) to
+    flat CSR (exactly O(nnz)). All three storages must produce bitwise
+    identical factors."""
+    import numpy as np
+
+    from ganmf_tpu.models import IALSRecommender
+    from ganmf_tpu.models import ials as ialsmod
+    from tests.conftest import random_urm
+
+    urm = random_urm(50, 30, density=0.3, seed=2)
+    cfg = dict(epochs=3, num_factors=8, alpha=2.0, reg=1e-2)
+    dense = IALSRecommender(urm); dense.fit(**cfg)
+    padded = IALSRecommender(urm); padded.fit(urm_storage="csr", **cfg)
+    monkeypatch.setattr(ialsmod, "_PAD_PLANE_BYTE_LIMIT", 1)
+    flat = IALSRecommender(urm); flat.fit(urm_storage="csr", **cfg)
+
+    assert flat._store_users[0] == "flat" and flat._store_items[0] == "flat"
+    assert padded._store_users[0] == "padded"
+    np.testing.assert_array_equal(flat.USER_factors, padded.USER_factors)
+    np.testing.assert_array_equal(flat.ITEM_factors, padded.ITEM_factors)
+    np.testing.assert_allclose(flat.USER_factors, dense.USER_factors, atol=1e-6)

@@ -171,3 +171,28 @@ def test_padded_csr_device_build_matches_host():
         assert isinstance(got, PaddedCSR)
         assert np.array_equal(np.asarray(got.idx), idx), implicit
         assert np.array_equal(np.asarray(got.val), val), implicit
+
+
+def test_colblocked_streamed_equals_dense(monkeypatch):
+    """Forcing the column-blocked streamed build (tiny Gram budget) must
+    reproduce the dense single-shot build to f32 round-off. The Gram itself
+    is bitwise exact for binary data (test_bf16_gram_exact_on_binary); the
+    final division can differ by 1 ULP across program shapes (XLA fuses it
+    differently), so the pruned W is compared with a round-off tolerance."""
+    from ganmf_tpu.ops import similarity as simmod
+
+    binary = random_urm(48, 40, density=0.25, seed=5, implicit=True)
+    explicit = random_urm(48, 40, density=0.25, seed=6, implicit=False)
+    cases = [(binary, s) for s in ("cosine", "jaccard", "euclidean")]
+    cases += [(explicit, s) for s in ("cosine", "asymmetric")]
+    expected = [compute_similarity(m, similarity=s, topK=9, shrink=0.5) for m, s in cases]
+
+    monkeypatch.setattr(simmod, "_DENSE_A_BYTE_LIMIT", 1)  # force streamed
+    monkeypatch.setattr(simmod, "_GRAM_BYTE_LIMIT", 4 * 40 * 16)  # force col blocks
+    for (m, s), exp in zip(cases, expected):
+        got = compute_similarity(m, similarity=s, topK=9, shrink=0.5)
+        assert got.nnz == exp.nnz, s
+        np.testing.assert_allclose(got.toarray(), exp.toarray(), rtol=1e-5, atol=1e-6,
+                                   err_msg=s)
+    with pytest.raises(ValueError):
+        compute_similarity(binary, similarity="cosine", topK=9, export="device")
