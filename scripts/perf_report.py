@@ -392,6 +392,12 @@ def _write(rows):
         "  regenerates this file from PERF.json.",
         "- bench.py reports the headline metric (GANMF ML-1M epoch,",
         "  sync-per-epoch protocol) vs the reference's ~3.64 s/epoch.",
+        "- Latency[...] rows (scripts/serving_latency.py) are dominated by",
+        "  the tunneled control-plane round trip (~30-60 ms each way), not",
+        "  device compute (sub-ms at these shapes): p50 b=1 ~55-70 ms on",
+        "  every model family and dataset. A co-located host sees the",
+        "  serve_all path instead (whole user base ranked in one dispatch,",
+        "  e.g. 46.6k users/s at ML-20M).",
         "- bf16 epochs pay off where the item axis is wide enough for the",
         "  epoch to be matmul-dominated (LastFM I=17.6k: 67.4 -> 54.8 ms;",
         "  hetrec I=10.1k: 32.3 -> 26.4 ms) and wash out on ML-1M (I=3.7k),",
