@@ -249,6 +249,10 @@ def _similarity_topk_from_gram(
 # I=64k is 17 GB — past a v5e on its own). Override with $GANMF_TPU_GRAM_GB.
 _GRAM_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_GRAM_GB", "6")) * (1 << 30))
 
+# HBM budget for keeping a binary interaction matrix resident as dense int8
+# (1 byte/element) during a column-blocked build.
+_INT8_A_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_INT8_A_GB", "9")) * (1 << 30))
+
 
 @functools.partial(
     jax.jit,
@@ -299,6 +303,60 @@ def _similarity_topk_colblock(
     from ganmf_tpu.ops.topk import tiled_topk
 
     return tiled_topk(W.T, topk)  # [width, k] for this block's columns
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk"))
+def _dense_int8_from_padded(idx, val, n_cols: int, chunk: int):
+    """Materialize the binary interaction matrix as a dense int8 [R, n_cols]
+    (1 byte/element — fits HBM where f32/bf16 do not). Built chunk-by-chunk
+    from the padded-CSR planes; values are guaranteed 0/1 here."""
+    R = idx.shape[0]
+    n_chunks = R // chunk
+
+    def body(c, A):
+        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)
+        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
+        D = jnp.zeros((chunk, n_cols + 1), jnp.int8)
+        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv.astype(jnp.int8))[:, :n_cols]
+        return jax.lax.dynamic_update_slice(A, D, (c * chunk, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((R, n_cols), jnp.int8))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_rows", "width", "mode", "topk", "shrink", "normalize",
+        "asymmetric_alpha", "tversky_alpha", "tversky_beta",
+        "normalize_avg_row", "distance_mode", "use_row_weights",
+    ),
+)
+def _similarity_topk_colblock_int8(
+    A8, ss2, rw, off,
+    *, n_rows: int, width: int, mode: str, topk: int, shrink: float,
+    normalize: bool, asymmetric_alpha: float, tversky_alpha: float,
+    tversky_beta: float, normalize_avg_row: bool, distance_mode: str,
+    use_row_weights: bool,
+):
+    """int8 A-resident variant of the column-blocked build for binary data:
+    the dense int8 matrix is read once per slab on the MXU (int8 x int8 ->
+    int32 accumulate, exact for 0/1 counts) instead of re-scattering every
+    row chunk per slab — scatter traffic was the dominant cost of the
+    bf16 slab build at I = 65,536."""
+    n_cols = A8.shape[1]
+    A8b = jax.lax.dynamic_slice(A8, (0, off), (A8.shape[0], width))
+    G = jax.lax.dot_general(
+        A8, A8b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)  # exact: co-rating counts < 2^24
+    ss2_targ = jax.lax.dynamic_slice(ss2, (off,), (width,))
+    W = _w_block(
+        G, ss2, ss2_targ, off, n_rows, rw, mode, shrink, normalize,
+        asymmetric_alpha, tversky_alpha, tversky_beta, normalize_avg_row,
+        distance_mode, use_row_weights,
+    )
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    return tiled_topk(W.T, topk)
 
 
 def _similarity_topk_sharded(
@@ -520,16 +578,30 @@ def compute_similarity(
                     "column-blocked build exists because that does not fit"
                 )
             width = int(min(n_cols, max(512, _GRAM_BYTE_LIMIT // 2 // (4 * n_cols) // 256 * 256)))
+            # binary data whose dense int8 matrix fits the budget: keep A
+            # resident (1 byte/elem) and read it per slab on the MXU
+            # instead of re-scattering every row chunk per slab
+            n_rows_pad = idx_a.shape[0]
+            use_int8 = (
+                bf16_ok and not gram_rw
+                and n_rows_pad * n_cols <= _INT8_A_BYTE_LIMIT
+            )
+            A8 = _dense_int8_from_padded(idx_a, val_a, n_cols=n_cols, chunk=chunk) if use_int8 else None
             vals_np = np.empty((n_cols, topK), np.float32)
             idx_np = np.empty((n_cols, topK), np.int64)
             done = 0
             while done < n_cols:
                 off = min(done, n_cols - width)
-                v_b, i_b = _similarity_topk_colblock(
-                    idx_a, val_a, w_pad, ss2, rw, off,
-                    n_rows=n_rows, n_cols=n_cols, chunk=chunk, width=width,
-                    bf16_ok=bf16_ok and not gram_rw, **kernel_kwargs,
-                )
+                if use_int8:
+                    v_b, i_b = _similarity_topk_colblock_int8(
+                        A8, ss2, rw, off, n_rows=n_rows, width=width, **kernel_kwargs,
+                    )
+                else:
+                    v_b, i_b = _similarity_topk_colblock(
+                        idx_a, val_a, w_pad, ss2, rw, off,
+                        n_rows=n_rows, n_cols=n_cols, chunk=chunk, width=width,
+                        bf16_ok=bf16_ok and not gram_rw, **kernel_kwargs,
+                    )
                 # the last block may overlap already-done columns; keep the tail
                 skip = done - off
                 vals_np[done : off + width] = np.asarray(v_b)[skip:]

@@ -196,3 +196,27 @@ def test_colblocked_streamed_equals_dense(monkeypatch):
                                    err_msg=s)
     with pytest.raises(ValueError):
         compute_similarity(binary, similarity="cosine", topK=9, export="device")
+
+
+def test_colblocked_int8_matches_dense(monkeypatch):
+    """Binary data in the column-blocked build keeps A resident as dense
+    int8 and reads it per slab (int8 x int8 -> int32, exact for 0/1): the
+    pruned W must match the dense single-shot build to f32 round-off, and
+    disabling the int8 budget must route through the bf16 slab path with
+    identical output."""
+    from ganmf_tpu.ops import similarity as simmod
+
+    binary = random_urm(48, 40, density=0.25, seed=9, implicit=True)
+    expected = {s: compute_similarity(binary, similarity=s, topK=9, shrink=0.5)
+                for s in ("cosine", "jaccard")}
+
+    monkeypatch.setattr(simmod, "_DENSE_A_BYTE_LIMIT", 1)  # force streamed
+    monkeypatch.setattr(simmod, "_GRAM_BYTE_LIMIT", 4 * 40 * 16)  # force col blocks
+    for s, exp in expected.items():
+        got_int8 = compute_similarity(binary, similarity=s, topK=9, shrink=0.5)
+        monkeypatch.setattr(simmod, "_INT8_A_BYTE_LIMIT", 0)
+        got_bf16 = compute_similarity(binary, similarity=s, topK=9, shrink=0.5)
+        monkeypatch.setattr(simmod, "_INT8_A_BYTE_LIMIT", 1 << 40)
+        assert (got_int8 != got_bf16).nnz == 0, s  # same Gram -> same W
+        np.testing.assert_allclose(got_int8.toarray(), exp.toarray(),
+                                   rtol=1e-5, atol=1e-6, err_msg=s)
