@@ -16,6 +16,7 @@ from ganmf_tpu.models.mf_sgd import (
     MatrixFactorization_FunkSVD,
 )
 from ganmf_tpu.models.extras import EASE_R_Recommender, NMFRecommender, PredefinedListRecommender
+from ganmf_tpu.models.irgan import IRGAN_Recommender
 from ganmf_tpu.models.ganmf import GANMF
 from ganmf_tpu.models.disganmf import DisGANMF
 from ganmf_tpu.models.cfgan import CFGAN
