@@ -290,16 +290,14 @@ class _BaseEvaluator:
         return False
 
     def _fused_sim_block(self, model, uids_np: np.ndarray):
-        from ganmf_tpu.models.base import UserSimilarityRecommender
         from ganmf_tpu.ops.pallas_scorer import masked_topk_matmul
 
         uids = jnp.asarray(uids_np, dtype=jnp.int32)
-        if isinstance(model, UserSimilarityRecommender):
-            rows = jnp.take(model._w_device(), uids, axis=0)  # [B, U]
-            right = model.device_urm().dense  # [U, I]
-        else:
-            rows = model.device_profile_rows(uids)  # [B, I]
-            right = model._w_device()  # [I, I]
+        # the model builds (rows, right): item-based URM[u] x W, user-based
+        # W[u] x URM — with the f32 operand split into bf16 planes when the
+        # other side is bf16-exact (binary profiles), 3x the MXU rate of
+        # the HIGHEST contraction at ~1e-5 relative score error
+        rows, right = model._fused_serving_operands(uids)
         if self.exclude_seen:
             seen = _seen_rows(model, uids)
         else:

@@ -45,6 +45,12 @@ def check_matrix(X, format: str = "csc", dtype=np.float32):
 # quadratic — 124 s measured on a LastFM-scale walk matrix)
 _DEVICE_PRUNE_THRESHOLD = 1 << 26
 
+# bf16 planes the similarity-family scoring matmul splits its f32 operand
+# into when the other operand is bf16-exact: 2 gives ~16 mantissa bits at
+# 1/3 the MXU cost of the HIGHEST f32 contraction, 3 gives f32-grade at
+# 1/2. 0 disables splitting (always HIGHEST).
+_SIM_MATMUL_PASSES = int(os.environ.get("GANMF_TPU_SIM_PASSES", "2"))
+
 
 def _device_column_topk(W: sps.spmatrix, k: int) -> sps.csc_matrix:
     """Column-wise top-k over stored nonzeros (negatives kept) computed on
@@ -220,6 +226,20 @@ class Recommender:
 
             return padded_rows_dense(self._padded_urm(), uids, self.n_items)
         return self.device_urm().rows(uids)
+
+    def _urm_values_bf16_exact(self) -> bool:
+        """True when every URM value is exactly representable in bfloat16
+        (binary/implicit data always is; half-star ratings are too). Gates
+        the split-plane similarity scoring matmul: with a bf16-exact left
+        operand, per-term products against bf16 planes are exact."""
+        if getattr(self, "_urm_bf16_exact", None) is None:
+            import ml_dtypes
+
+            d = self.URM_train.data
+            self._urm_bf16_exact = bool(
+                np.all(d == d.astype(ml_dtypes.bfloat16).astype(np.float32))
+            )
+        return self._urm_bf16_exact
 
     def _invalidate_device_cache(self):
         self._durm = None
@@ -639,6 +659,7 @@ class ItemSimilarityRecommender(Recommender):
         super().__init__(URM_train)
         self._W_sparse_store: Optional[sps.csr_matrix] = None
         self._device_w = None
+        self._device_w_planes = None
 
     # W_sparse is a property so a device-built dense W (e.g. EASE-R's closed
     # form) can stay device-authoritative: scoring never needs the host copy,
@@ -672,11 +693,26 @@ class ItemSimilarityRecommender(Recommender):
                 self._device_w = False
         return self._device_w
 
+    def _w_device_split(self):
+        """Cached bf16 planes of the dense W for the split-plane scoring
+        matmul (ops/pallas_scorer.split_bf16_planes); False when W does not
+        fit in HBM or splitting is disabled."""
+        if self._device_w_planes is None:
+            W = self._w_device()
+            if W is False or _SIM_MATMUL_PASSES <= 0:
+                self._device_w_planes = False
+            else:
+                from ganmf_tpu.ops.pallas_scorer import split_bf16_planes
+
+                self._device_w_planes = split_bf16_planes(W, _SIM_MATMUL_PASSES)
+        return self._device_w_planes
+
     def _invalidate_device_cache(self):
         super()._invalidate_device_cache()
         if self._W_sparse_store is None and self._device_w is not None and self._device_w is not False:
             _ = self.W_sparse  # materialize the host copy before dropping device state
         self._device_w = None
+        self._device_w_planes = None
 
     def _serving_traceable(self) -> bool:
         return self._w_device() is not False
@@ -693,7 +729,12 @@ class ItemSimilarityRecommender(Recommender):
         W = self._w_device()
         if W is False:
             return None
-        return self.device_profile_rows(uids), W
+        rows = self.device_profile_rows(uids)
+        if self._urm_values_bf16_exact():
+            planes = self._w_device_split()
+            if planes is not False:
+                return rows.astype(jnp.bfloat16), planes
+        return rows, W
 
     def _save_dict(self):
         return {"W_sparse": check_matrix(self.W_sparse, "csr", np.float32)}
@@ -713,6 +754,7 @@ class UserSimilarityRecommender(Recommender):
         super().__init__(URM_train)
         self._W_sparse_store: Optional[sps.csr_matrix] = None
         self._device_w = None
+        self._device_w_planes = None
 
     # same lazy device-authoritative design as ItemSimilarityRecommender:
     # a device-built dense W never round-trips to host unless an artifact
@@ -745,11 +787,25 @@ class UserSimilarityRecommender(Recommender):
                 self._device_w = False
         return self._device_w
 
+    def _w_device_split(self):
+        """Cached bf16 planes of the dense user-user W (the split operand
+        here is W: the URM right operand is the bf16-exact one)."""
+        if getattr(self, "_device_w_planes", None) is None:
+            W = self._w_device()
+            if W is False or _SIM_MATMUL_PASSES <= 0:
+                self._device_w_planes = False
+            else:
+                from ganmf_tpu.ops.pallas_scorer import split_bf16_planes
+
+                self._device_w_planes = split_bf16_planes(W, _SIM_MATMUL_PASSES)
+        return self._device_w_planes
+
     def _invalidate_device_cache(self):
         super()._invalidate_device_cache()
         if self._W_sparse_store is None and self._device_w is not None and self._device_w is not False:
             _ = self.W_sparse  # materialize the host copy before dropping device state
         self._device_w = None
+        self._device_w_planes = None
 
     def _serving_traceable(self) -> bool:
         return self._w_device() is not False
@@ -766,6 +822,11 @@ class UserSimilarityRecommender(Recommender):
         W = self._w_device()
         if W is False:
             return None
+        if self._urm_values_bf16_exact():
+            planes = self._w_device_split()
+            if planes is not False:
+                rows = tuple(jnp.take(p, uids, axis=0) for p in planes)
+                return rows, self.device_urm().dense.astype(jnp.bfloat16)
         return jnp.take(W, uids, axis=0), self.device_urm().dense
 
     def _save_dict(self):

@@ -89,18 +89,56 @@ def masked_topk_matmul(
     rather than approx_max_k(recall=1.0) because at HIGHEST precision the
     matmul dominates (approx saves <1 ms) and top_k's lowest-index tie
     order matches the dense scoring path bit-for-bit.
+
+    Either operand may instead be a tuple of bfloat16 planes (see
+    ``split_bf16_planes``): the contraction then runs one MXU bf16 pass per
+    plane pair with f32 accumulation — 2 passes instead of HIGHEST's 6 when
+    the other operand is bf16-exact (binary profiles are), which is where
+    the catalog-sized similarity eval spends its time at ML-20M scale.
+    Ranking goes through ``tiled_topk`` (value- and tie-identical to
+    ``lax.top_k``) so the sort never materializes full-catalog-width rows.
     """
-    s = jax.lax.dot_general(
-        rows.astype(jnp.float32), W.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    from ganmf_tpu.ops.topk import tiled_topk
+
+    if isinstance(rows, tuple) or isinstance(W, tuple):
+        rs = rows if isinstance(rows, tuple) else (rows.astype(jnp.bfloat16),)
+        ws = W if isinstance(W, tuple) else (W.astype(jnp.bfloat16),)
+        s = None
+        for r in rs:
+            for w in ws:
+                t = jax.lax.dot_general(
+                    r, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                s = t if s is None else s + t
+    else:
+        s = jax.lax.dot_general(
+            rows.astype(jnp.float32), W.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     s = jnp.where(seen_mask, -jnp.inf, s)
-    vals, idx = jax.lax.top_k(s, k)
+    vals, idx = tiled_topk(s, k)
     ps = jnp.take_along_axis(s, pair_ids, axis=1)
     fin = jnp.isfinite(ps)
     return vals, idx, jnp.where(fin, ps, 0.0), fin.astype(jnp.float32)
+
+
+def split_bf16_planes(W: jnp.ndarray, passes: int = 2):
+    """Decompose an f32 matrix into ``passes`` bfloat16 planes whose sum
+    approximates it to ~8*passes mantissa bits (2 -> ~1e-5 relative, 3 ->
+    f32-grade). Against a bf16-exact left operand, contracting plane-by-
+    plane with f32 accumulation replaces the 6-pass HIGHEST f32 matmul at
+    passes/6 of its MXU cost."""
+    planes = []
+    r = W
+    for _ in range(passes - 1):
+        p = r.astype(jnp.bfloat16)
+        planes.append(p)
+        r = r - p.astype(jnp.float32)
+    planes.append(r.astype(jnp.bfloat16))
+    return tuple(planes)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "row_block", "interpret"))

@@ -253,6 +253,10 @@ _GRAM_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_GRAM_GB", "6")) * (1 << 3
 # (1 byte/element) during a column-blocked build.
 _INT8_A_BYTE_LIMIT = int(float(os.environ.get("GANMF_TPU_INT8_A_GB", "9")) * (1 << 30))
 
+# Physical per-chip HBM used to size slabs that must coexist with a
+# resident A8 (v5e: 16 GB minus runtime reservations).
+_CHIP_HBM_BYTES = int(float(os.environ.get("GANMF_TPU_HBM_GB", "15.5")) * (1 << 30))
+
 
 @functools.partial(
     jax.jit,
@@ -586,6 +590,18 @@ def compute_similarity(
                 bf16_ok and not gram_rw
                 and n_rows_pad * n_cols <= _INT8_A_BYTE_LIMIT
             )
+            if use_int8:
+                # the resident A8 eats into the slab budget: per width unit
+                # the program holds ~24 B/column of temps (Gram f32 + int32
+                # dot output + the top-k sort's value/iota/copy buffers), so
+                # cap the slab to what fits beside A8 (measured r4: width
+                # 12288 at I=64k OOMs by 1.25 GB with A8 = 8 GB resident)
+                free = _CHIP_HBM_BYTES - n_rows_pad * n_cols - (1 << 30)
+                w_int8 = free // (24 * n_cols) // 256 * 256
+                if w_int8 >= 512:
+                    width = int(min(width, w_int8))
+                else:
+                    use_int8 = False  # no useful slab fits beside A8
             A8 = _dense_int8_from_padded(idx_a, val_a, n_cols=n_cols, chunk=chunk) if use_int8 else None
             vals_np = np.empty((n_cols, topK), np.float32)
             idx_np = np.empty((n_cols, topK), np.int64)

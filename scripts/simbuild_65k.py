@@ -42,9 +42,12 @@ def main():
     import perf_report
 
     rows = {k: tuple(v) for k, v in json.load(open("PERF.json")).items()} if os.path.isfile("PERF.json") else {}
-    rows[f"ItemKNN[{U//1024}k x {I//1024}k] cosine build (col-blocked bf16 Gram)"] = (
-        wall, "f32 [I,I] Gram = 17 GB > HBM; slabs + one-pass bf16 Gram; scripts/simbuild_65k.py"
+    rows[f"ItemKNN[{U//1024}k x {I//1024}k] cosine build (int8 A-resident col-blocked)"] = (
+        wall, "f32 [I,I] Gram = 17 GB > HBM; dense int8 A (8.6 GB) read per slab on the "
+        "MXU (int8xint8->int32, exact); 658.7 s with the re-scattering bf16 slab build; "
+        "scripts/simbuild_65k.py"
     )
+    rows.pop(f"ItemKNN[{U//1024}k x {I//1024}k] cosine build (col-blocked bf16 Gram)", None)
     atomic_json_dump({k: list(v) for k, v in rows.items()}, "PERF.json")
     perf_report._write(rows)
 

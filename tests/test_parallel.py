@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sps
 import pytest
 
 from ganmf_tpu.ops.topk import sharded_topk
@@ -286,6 +287,33 @@ def test_ials_csr_storage_matches_dense(urm_pair):
         np.testing.assert_allclose(
             np.asarray(m._V_dev), np.asarray(base._V_dev), rtol=2e-4, atol=2e-6
         )
+
+
+def test_ials_flat_csr_composes_with_mesh(monkeypatch):
+    """Flat-CSR IALS x mesh (VERDICT r4 #3): rows shard over the mesh's row
+    axes as stacked per-shard flat-CSR slices; results are bitwise the
+    single-device flat fit on 2-axis and 3-axis meshes."""
+    from ganmf_tpu.models import IALSRecommender
+    from ganmf_tpu.models import ials as ials_mod
+
+    monkeypatch.setattr(ials_mod, "_PAD_PLANE_BYTE_LIMIT", 1)  # force flat
+    rng = np.random.RandomState(0)
+    urm = sps.csr_matrix((rng.rand(64, 48) < 0.2).astype(np.float32))
+    cfg = dict(epochs=3, num_factors=4, confidence_scaling="log", alpha=2.0,
+               urm_storage="csr")
+
+    single = IALSRecommender(urm)
+    single.fit(**cfg)
+    assert single._store_users[0] == "flat"
+
+    for plan in (make_mesh(n_data=2, n_model=2),
+                 make_mesh(n_data=2, n_model=2, n_slices=2)):
+        m = IALSRecommender(urm)
+        m.fit(mesh_plan=plan, **cfg)
+        assert m._store_users[0] == "flat_sharded"
+        assert m._store_items[0] == "flat_sharded"
+        np.testing.assert_array_equal(np.asarray(m._U_dev), np.asarray(single._U_dev))
+        np.testing.assert_array_equal(np.asarray(m._V_dev), np.asarray(single._V_dev))
 
 
 def test_mf_sgd_csr_storage_composes_with_mesh(urm_pair):
