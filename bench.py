@@ -185,6 +185,74 @@ def bench_eval_and_serve(train_csr, test_csr):
     return n_eval_users / t_eval, n_users / t_serve
 
 
+def _load_ml20m():
+    """The ML-20M-scale synthetic stand-in (seeded, cached): regenerates
+    ratings.csv + splits deterministically if the gitignored caches are
+    absent (scripts/synthesize_ml20m.py; ~5 min one-time)."""
+    from ganmf_tpu.data import load_reference_splits
+
+    try:
+        return load_reference_splits("20M", split_dir=None)
+    except FileNotFoundError:
+        pass
+    from synthesize_ml20m import synthesize
+
+    data_dir = os.environ.get("GANMF_TPU_DATA", os.path.join("datasets", "all_datasets"))
+    synthesize(os.path.join(data_dir, "ml-20m", "ratings.csv"), verbose=False)
+    from ganmf_tpu.cli.experiment import load_urms
+
+    return load_urms("20M")
+
+
+def bench_20m():
+    """Two ML-20M-scale rows so the bench history tracks the streamed /
+    flat-CSR at-scale paths (VERDICT r4 #7), not just ML-1M-toy shapes:
+
+      - ials20m_epoch_time: one IALS epoch, K=96, urm_storage='csr'
+        (flat-CSR at this skew). vs_baseline extrapolates the reference's
+        measured ML-1M 0.80 s/epoch linearly in train nnz
+        (15.04 M / 0.80 M -> 15.0 s) — the reference never ran 20M.
+      - serve20m_users_per_s: PureSVD serve_all top-20 export over all
+        138,493 users; same 686 users/s recommend-loop baseline as ML-1M.
+    """
+    import jax.numpy as jnp
+
+    from _timing import timeit
+    from ganmf_tpu.models import IALSRecommender, PureSVDRecommender
+
+    splits = _load_ml20m()
+    rows = []
+
+    ials = IALSRecommender(splits.train)
+    ials.fit(epochs=1, num_factors=96, alpha=5.0, reg=1e-2, urm_storage="csr")
+
+    def one_epoch():
+        ials._run_epoch(0)
+        return float(jnp.sum(ials._U_dev))
+
+    ep_s = timeit(one_epoch, n=2)
+    ref_20m_ials = REF_IALS_EPOCH_S * (splits.train.nnz / 0.80e6)
+    rows.append({
+        "metric": "ials20m_epoch_time", "value": round(ep_s, 4),
+        "unit": "s", "vs_baseline": round(ref_20m_ials / ep_s, 2),
+    })
+    del ials
+
+    svd = PureSVDRecommender(splits.train)
+    svd.fit(num_factors=128)
+
+    def run_serve():
+        ids, scores = svd.serve_all(cutoff=20)
+        return float(scores[0, 0])
+
+    t_serve = timeit(run_serve, n=2)
+    rows.append({
+        "metric": "serve20m_users_per_s", "value": round(splits.train.shape[0] / t_serve, 1),
+        "unit": "users/s", "vs_baseline": round((splits.train.shape[0] / t_serve) / REF_SERVE_USERS_PER_S, 2),
+    })
+    return rows
+
+
 def main():
     train, test = _load_ml1m()
 
@@ -221,6 +289,11 @@ def main():
         })
     except Exception as exc:
         print(f"# basket eval/serve failed: {exc}", file=sys.stderr)
+
+    try:
+        basket.extend(bench_20m())
+    except Exception as exc:
+        print(f"# basket 20M failed: {exc}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "ganmf_ml1m_train_epoch_time",

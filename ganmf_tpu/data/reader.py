@@ -28,17 +28,25 @@ import scipy.sparse as sps
 
 
 def _dedup(rows, cols, data, keep="first"):
-    """Keep first/last occurrence of duplicate (user, item) pairs."""
-    seen: Dict[Tuple[int, int], int] = {}
-    for idx in range(len(rows)):
-        key = (rows[idx], cols[idx])
-        if keep == "first":
-            if key not in seen:
-                seen[key] = idx
-        else:
-            seen[key] = idx
-    keep_idx = np.fromiter(seen.values(), dtype=np.int64)
-    keep_idx.sort()
+    """Keep first/last occurrence of duplicate (user, item) pairs.
+
+    Vectorized with the exact semantics of the reference's dict pass
+    (datasets/DataReader.py:275-379): output order is first-occurrence
+    order, and keep='last' keeps the LAST duplicate's value at the FIRST
+    occurrence's position (dict insertion-order semantics)."""
+    if len(rows) == 0:
+        return rows, cols, data
+    key = rows.astype(np.int64) * (np.int64(cols.max()) + 1) + cols
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    first_idx = order[starts]  # stable sort: first position in each group
+    if keep == "first":
+        sel = first_idx
+    else:
+        ends = np.r_[starts[1:], len(ks)] - 1
+        sel = order[ends]  # stable sort: last position in each group
+    keep_idx = sel[np.argsort(first_idx, kind="stable")]
     return rows[keep_idx], cols[keep_idx], data[keep_idx]
 
 
@@ -57,6 +65,12 @@ def read_interactions(
     use_cols = use_cols or {"user_id": 0, "item_id": 1, "rating": 2}
     u_col, i_col = use_cols["user_id"], use_cols["item_id"]
     r_col = use_cols.get("rating", None)
+
+    from ganmf_tpu.ops.host import parse_interactions_file
+
+    native = parse_interactions_file(path, delimiter=delimiter, header=header, use_cols=use_cols)
+    if native is not None:
+        return _dedup(*native, keep=duplicate)
 
     rows: List[int] = []
     cols: List[int] = []

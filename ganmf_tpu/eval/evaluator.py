@@ -295,8 +295,10 @@ class _BaseEvaluator:
         uids = jnp.asarray(uids_np, dtype=jnp.int32)
         # the model builds (rows, right): item-based URM[u] x W, user-based
         # W[u] x URM — with the f32 operand split into bf16 planes when the
-        # other side is bf16-exact (binary profiles), 3x the MXU rate of
-        # the HIGHEST contraction at ~1e-5 relative score error
+        # other side is bf16-exact (binary profiles) AND the catalog exceeds
+        # base._SIM_SPLIT_MIN_ITEMS (3x the MXU rate of the HIGHEST
+        # contraction at ~1e-5 relative score error; small catalogs keep the
+        # bitwise HIGHEST path so exact ties rank identically to recommend())
         rows, right = model._fused_serving_operands(uids)
         if self.exclude_seen:
             seen = _seen_rows(model, uids)

@@ -51,6 +51,16 @@ _DEVICE_PRUNE_THRESHOLD = 1 << 26
 # 1/2. 0 disables splitting (always HIGHEST).
 _SIM_MATMUL_PASSES = int(os.environ.get("GANMF_TPU_SIM_PASSES", "2"))
 
+# Catalog size below which the split-plane path stays OFF: the planes are a
+# different (equally valid) f32 rounding of the same real scores, so exact
+# f64 ties — common in binary co-occurrence data — may resolve differently
+# than the HIGHEST-precision matmul, breaking the bitwise
+# recommend_fused == recommend serving contract the parity suite relies on.
+# The split exists for catalog-sized contractions (ML-20M's [B, 26744] x
+# [26744, 26744] eval matmul is the measured hotspot); the parity datasets
+# (<= 17,632 items) keep the bitwise path.
+_SIM_SPLIT_MIN_ITEMS = int(os.environ.get("GANMF_TPU_SIM_SPLIT_MIN_I", "20000"))
+
 
 def _device_column_topk(W: sps.spmatrix, k: int) -> sps.csc_matrix:
     """Column-wise top-k over stored nonzeros (negatives kept) computed on
@@ -730,7 +740,7 @@ class ItemSimilarityRecommender(Recommender):
         if W is False:
             return None
         rows = self.device_profile_rows(uids)
-        if self._urm_values_bf16_exact():
+        if self._urm_values_bf16_exact() and self.n_items >= _SIM_SPLIT_MIN_ITEMS:
             planes = self._w_device_split()
             if planes is not False:
                 return rows.astype(jnp.bfloat16), planes
@@ -822,7 +832,7 @@ class UserSimilarityRecommender(Recommender):
         W = self._w_device()
         if W is False:
             return None
-        if self._urm_values_bf16_exact():
+        if self._urm_values_bf16_exact() and self.n_items >= _SIM_SPLIT_MIN_ITEMS:
             planes = self._w_device_split()
             if planes is not False:
                 rows = tuple(jnp.take(p, uids, axis=0) for p in planes)

@@ -10,6 +10,7 @@ jnp.linalg.svd.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +20,12 @@ from ganmf_tpu.models.base import MatrixFactorizationRecommender
 
 
 _HI = jax.lax.Precision.HIGHEST
+
+# HBM budget for keeping the interaction matrix resident as dense bf16
+# (2 bytes/element) during a randomized-SVD fit. At ML-20M shape
+# (138,493 x 26,744) the bf16 matrix is 7.4 GB — comfortably inside a
+# v5e's 16 GB, where the f32 matrix (14.8 GB) is not.
+_RESIDENT_BF16_LIMIT = int(float(os.environ.get("GANMF_TPU_SVD_BF16_GB", "9")) * (1 << 30))
 
 
 def _cholqr(Y):
@@ -62,6 +69,69 @@ def _puresvd_factors(A: jnp.ndarray, key, num_factors: int, n_iter: int):
     a single dispatch + one batched readback on latency-bound links."""
     U, S, Vt = _randomized_svd(A, key, num_factors=num_factors, n_iter=n_iter)
     return U, (S[:, None] * Vt).T
+
+
+@functools.partial(jax.jit, static_argnames=("n_cols", "chunk"))
+def _dense_bf16_from_padded(idx, val, n_cols: int, chunk: int):
+    """Materialize the interaction matrix as dense bf16 [R, n_cols]
+    (2 bytes/element — 7.4 GB at ML-20M where f32 is 14.8 GB). Exact when
+    every stored value is bf16-representable (binary data always is).
+    Built chunk-by-chunk from the padded-CSR planes."""
+    R = idx.shape[0]
+    n_chunks = R // chunk
+
+    def body(c, A):
+        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)
+        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
+        D = jnp.zeros((chunk, n_cols + 1), jnp.float32)
+        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
+        return jax.lax.dynamic_update_slice(A, D.astype(jnp.bfloat16), (c * chunk, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((R, n_cols), jnp.bfloat16))
+
+
+@functools.partial(jax.jit, static_argnames=("num_factors", "n_oversample", "n_iter"))
+def _puresvd_factors_resident(Ab, key, num_factors: int, n_oversample: int = 10, n_iter: int = 7):
+    """Randomized SVD over a resident dense bf16 A: every range-finder pass
+    is one direct MXU matmul (bf16 x bf16 -> f32 accumulate) instead of
+    re-scattering padded-CSR chunks into dense slabs 2*n_iter+2 times —
+    the scatter traffic was the whole cost of the streamed build at ML-20M
+    (27.7 s at 0.06 TFLOP/s; same diagnosis as the int8 similarity build,
+    ops/similarity.py:338).
+
+    The power-iteration subspace tolerates bf16 rounding of the iterate
+    (CholeskyQR re-orthonormalizes in f32 each pass); the final projection
+    B = Q^T A runs Q in split-bf16 planes so, with A bf16-exact, B carries
+    ~16 mantissa bits — the rank-k factors solve the same tiny SVD as the
+    streamed path to ~1e-5."""
+
+    def mm_a(Xb):  # [I, k] bf16 -> [R, k] f32
+        return jax.lax.dot_general(
+            Ab, Xb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def mm_at(Yb):  # [R, k] bf16 -> [I, k] f32
+        return jax.lax.dot_general(
+            Ab, Yb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    k = num_factors + n_oversample
+    omega = jax.random.normal(key, (Ab.shape[1], k), dtype=jnp.float32)
+    Y = mm_a(omega.astype(jnp.bfloat16))
+    for _ in range(n_iter):
+        Y = _cholqr(Y)
+        Z = _cholqr(mm_at(Y.astype(jnp.bfloat16)))
+        Y = mm_a(Z.astype(jnp.bfloat16))
+    Q = _cholqr2(Y)
+    # split-plane final projection: per-term products against bf16-exact A
+    # are exact, so the two planes reconstruct Q^T A to ~2^-16 relative
+    q_hi = Q.astype(jnp.bfloat16)
+    q_lo = (Q - q_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    B = (mm_at(q_hi) + mm_at(q_lo)).T  # [k, I]
+    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    U = jnp.dot(Q, Ub, precision=_HI)
+    S, Vt = S[:num_factors], Vt[:num_factors]
+    return U[:, :num_factors], (S[:, None] * Vt).T
 
 
 @functools.partial(jax.jit, static_argnames=("n_cols", "num_factors", "n_oversample", "n_iter", "chunk"))
@@ -126,8 +196,10 @@ class PureSVDRecommender(MatrixFactorizationRecommender):
 
     def fit(self, num_factors: int = 100, random_seed: int = 1234, n_iter: int = 7):
         if self._urm_streams():
-            # dense [U, I] would blow the HBM budget: stream the A-products
-            # over padded-CSR chunks (same range-finder, same factors)
+            # dense f32 [U, I] would blow the HBM budget. Preferred: keep A
+            # resident as dense bf16 (exact for bf16-representable values)
+            # so every pass is one MXU matmul; fall back to streaming the
+            # A-products over padded-CSR chunks when even bf16 won't fit.
             chunk = 2048
             pc = self._padded_urm()
             pad = (-self.n_users) % chunk
@@ -137,10 +209,22 @@ class PureSVDRecommender(MatrixFactorizationRecommender):
                     [idx_a, jnp.full((pad, idx_a.shape[1]), self.n_items, dtype=idx_a.dtype)]
                 )
                 val_a = jnp.concatenate([val_a, jnp.zeros((pad, val_a.shape[1]), val_a.dtype)])
-            U, V = _puresvd_factors_streamed(
-                idx_a, val_a, jax.random.PRNGKey(random_seed), n_cols=self.n_items,
-                num_factors=int(num_factors), n_iter=int(n_iter), chunk=chunk,
+            resident = (
+                self._urm_values_bf16_exact()
+                and 2 * idx_a.shape[0] * self.n_items <= _RESIDENT_BF16_LIMIT
             )
+            if resident:
+                Ab = _dense_bf16_from_padded(idx_a, val_a, n_cols=self.n_items, chunk=chunk)
+                U, V = _puresvd_factors_resident(
+                    Ab, jax.random.PRNGKey(random_seed),
+                    num_factors=int(num_factors), n_iter=int(n_iter),
+                )
+                del Ab
+            else:
+                U, V = _puresvd_factors_streamed(
+                    idx_a, val_a, jax.random.PRNGKey(random_seed), n_cols=self.n_items,
+                    num_factors=int(num_factors), n_iter=int(n_iter), chunk=chunk,
+                )
             U = U[: self.n_users]
             float(U[0, 0])
             self.USER_factors, self.ITEM_factors = U, V

@@ -147,6 +147,102 @@ void shuffled_interactions(const int64_t* indptr, const int32_t* indices, int64_
   }
 }
 
-int cf_host_version() { return 1; }
+// -- interactions-file parser -------------------------------------------------
+//
+// Native equivalent of the reference's per-line ratings parse
+// (datasets/DataReader.py:275-379 read_interactions): delimiter-separated
+// (user, item, rating) columns, multi-char delimiters ("::"), empty lines
+// skipped. Output order == file order — the downstream splitter's RNG
+// parity depends on within-row interaction order, so the parallel parse
+// computes exact per-segment output offsets first.
+
+namespace {
+
+inline bool line_empty(const char* p, const char* e) {
+  for (; p < e; ++p) {
+    if (*p != ' ' && *p != '\t' && *p != '\r') return false;
+  }
+  return true;
+}
+
+inline void parse_line(const char* p, const char* e, const char* delim, int64_t dlen,
+                       int32_t u_col, int32_t i_col, int32_t r_col,
+                       int64_t* u, int64_t* it, float* r) {
+  const int32_t maxc = std::max(std::max(u_col, i_col), r_col);
+  int32_t col = 0;
+  const char* f = p;
+  while (f < e && col <= maxc) {
+    if (col == u_col) *u = strtoll(f, nullptr, 10);
+    if (col == i_col) *it = strtoll(f, nullptr, 10);
+    if (col == r_col) *r = strtof(f, nullptr);
+    const char* q = f;
+    while (q + dlen <= e && std::memcmp(q, delim, dlen) != 0) ++q;
+    if (q + dlen > e) break;
+    f = q + dlen;
+    ++col;
+  }
+}
+
+}  // namespace
+
+// Returns the number of parsed rows. `buf` MUST end with '\n' (the Python
+// caller appends one); r_col < 0 emits rating 1.0f for every row.
+int64_t parse_interactions(const char* buf, int64_t n, const char* delim, int64_t dlen,
+                           int32_t u_col, int32_t i_col, int32_t r_col,
+                           int64_t* users, int64_t* items, float* ratings) {
+  int T = 1;
+#ifdef _OPENMP
+  T = omp_get_max_threads();
+#endif
+  if ((int64_t)T > n) T = 1;
+  std::vector<int64_t> seg((size_t)T + 1, 0);
+  seg[T] = n;
+  for (int t = 1; t < T; ++t) {
+    int64_t p = (n * t) / T;
+    const char* nl = (const char*)std::memchr(buf + p, '\n', (size_t)(n - p));
+    seg[t] = nl ? (nl - buf) + 1 : n;
+  }
+  for (int t = 1; t <= T; ++t) seg[t] = std::max(seg[t], seg[t - 1]);
+
+  std::vector<int64_t> off((size_t)T + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int t = 0; t < T; ++t) {
+    int64_t c = 0;
+    const char* p = buf + seg[t];
+    const char* stop = buf + seg[t + 1];
+    while (p < stop) {
+      const char* nl = (const char*)std::memchr(p, '\n', (size_t)(stop - p));
+      const char* e = nl ? nl : stop;
+      if (!line_empty(p, e)) ++c;
+      p = e + 1;
+    }
+    off[t + 1] = c;
+  }
+  for (int t = 0; t < T; ++t) off[t + 1] += off[t];
+
+#pragma omp parallel for schedule(static)
+  for (int t = 0; t < T; ++t) {
+    int64_t w = off[t];
+    const char* p = buf + seg[t];
+    const char* stop = buf + seg[t + 1];
+    while (p < stop) {
+      const char* nl = (const char*)std::memchr(p, '\n', (size_t)(stop - p));
+      const char* e = nl ? nl : stop;
+      if (!line_empty(p, e)) {
+        int64_t u = 0, it = 0;
+        float r = 1.0f;
+        parse_line(p, e, delim, dlen, u_col, i_col, r_col, &u, &it, &r);
+        users[w] = u;
+        items[w] = it;
+        ratings[w] = r;
+        ++w;
+      }
+      p = e + 1;
+    }
+  }
+  return off[T];
+}
+
+int cf_host_version() { return 2; }
 
 }  // extern "C"

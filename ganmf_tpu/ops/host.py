@@ -86,6 +86,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.random_choice_cdf.argtypes = [_f32p, ctypes.c_int64, _i32p, ctypes.c_int64, ctypes.c_uint64, _i32p]
         lib.shuffled_interactions.argtypes = [_i64p, _i32p, ctypes.c_int64, ctypes.c_uint64, _i32p, _i32p]
+        lib.parse_interactions.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _i64p, _i64p, _f32p,
+        ]
+        lib.parse_interactions.restype = ctypes.c_int64
         lib.cf_host_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -173,6 +178,47 @@ def random_choice_cdf(cdf: np.ndarray, rows: np.ndarray, seed: int) -> np.ndarra
     out = np.empty(len(rows), dtype=np.int32)
     lib.random_choice_cdf(cdf, cdf.shape[1], rows, len(rows), int(seed), out)
     return out
+
+
+def parse_interactions_file(
+    path: str,
+    delimiter: str = ",",
+    header: bool = False,
+    use_cols: Optional[Dict[str, int]] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Parse a ratings file into (user, item, rating) arrays in file order —
+    the native OpenMP parser (reference DataReader.read_interactions,
+    datasets/DataReader.py:275-379). Returns None when the native library is
+    unavailable so the caller can fall back to the Python line loop; the two
+    produce identical arrays on well-formed files (tests/test_host_ops.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    use_cols = use_cols or {"user_id": 0, "item_id": 1, "rating": 2}
+    u_col, i_col = use_cols["user_id"], use_cols["item_id"]
+    r_col = use_cols.get("rating", None)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if header:
+        nl = raw.find(b"\n")
+        raw = raw[nl + 1:] if nl >= 0 else b""
+    if not raw.endswith(b"\n"):
+        raw += b"\n"  # the native parser requires a terminated final line
+    max_rows = raw.count(b"\n")
+    users = np.empty(max_rows, dtype=np.int64)
+    items = np.empty(max_rows, dtype=np.int64)
+    vals = np.empty(max_rows, dtype=np.float32)
+    if max_rows:
+        dl = delimiter.encode()
+        n = lib.parse_interactions(
+            raw, len(raw), dl, len(dl),
+            np.int32(u_col), np.int32(i_col),
+            np.int32(-1 if r_col is None else r_col),
+            users, items, vals,
+        )
+    else:
+        n = 0
+    return users[:n], items[:n], vals[:n]
 
 
 def shuffled_interactions(urm: sps.csr_matrix, seed: int) -> Tuple[np.ndarray, np.ndarray]:

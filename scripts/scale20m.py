@@ -178,8 +178,17 @@ def main(stages):
         t0 = time.time()
         m.fit(topK=300, shrink=0, similarity="cosine")
         fit_s = time.time() - t0
-        _record_perf("ItemKNN[20M] cosine build (topK=300, streamed Gram)", fit_s,
-                     "includes compile + [I,k] readback")
+        # second fit = steady-state: the first pays one-time program compile
+        # (30-350 s on this shared tunneled backend when the persistent
+        # cache is cold — see _evaluate's note)
+        m2 = ItemKNNCFRecommender(train)
+        t0 = time.time()
+        m2.fit(topK=300, shrink=0, similarity="cosine")
+        fit2_s = time.time() - t0
+        del m2
+        _record_perf("ItemKNN[20M] cosine build (topK=300, streamed Gram)",
+                     min(fit_s, fit2_s),
+                     f"steady state + [I,k] readback; cold first fit {fit_s:.1f}s")
         res, eval_s = _evaluate(ev, m)
         _save_metrics("ItemKNN_cosine", res, fit_s, eval_s, n_eval)
         _record_perf("Eval[20M] similarity-family (ItemKNN) 138493 users", eval_s,

@@ -15,7 +15,7 @@ def urm():
 def test_native_library_builds():
     lib = host.get_lib()
     assert lib is not None, "native cf_host library failed to build"
-    assert lib.cf_host_version() == 1
+    assert lib.cf_host_version() == 2
 
 
 def test_csr_gather_dense_matches_scipy(urm):
@@ -101,3 +101,97 @@ def test_dense_from_sparse_matches_todense():
     m = sps.random(50, 700, density=0.05, random_state=rng, format="csr", dtype=np.float32)
     out = np.asarray(dense_from_sparse(m))
     np.testing.assert_allclose(out, np.asarray(m.todense()), rtol=1e-6)
+
+
+def _python_read_interactions(path, use_cols=None, delimiter=",", header=False):
+    """The reference-shaped per-line parse (pre-native behavior), kept here
+    as the oracle for the native OpenMP parser."""
+    use_cols = use_cols or {"user_id": 0, "item_id": 1, "rating": 2}
+    u_col, i_col = use_cols["user_id"], use_cols["item_id"]
+    r_col = use_cols.get("rating", None)
+    rows, cols, data = [], [], []
+    with open(path, "r", errors="replace") as fh:
+        first = True
+        for line in fh:
+            if first and header:
+                first = False
+                continue
+            first = False
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split(delimiter)
+            rows.append(int(parts[u_col]))
+            cols.append(int(parts[i_col]))
+            data.append(float(parts[r_col]) if r_col is not None and r_col < len(parts) else 1.0)
+    return (np.asarray(rows, np.int64), np.asarray(cols, np.int64),
+            np.asarray(data, np.float32))
+
+
+@pytest.mark.parametrize("delim,header", [(",", True), ("::", False), ("\t", False)])
+def test_native_parse_matches_python(tmp_path, delim, header):
+    from ganmf_tpu.ops.host import get_lib, parse_interactions_file
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(42)
+    lines = []
+    if header:
+        lines.append(delim.join(["userId", "movieId", "rating", "timestamp"]))
+    for _ in range(500):
+        u, i = rng.randint(1, 900), rng.randint(1, 400)
+        r = rng.choice([0.5, 1.0, 2.5, 3.0, 4.5, 5.0])
+        lines.append(delim.join([str(u), str(i), str(r), str(rng.randint(1e9))]))
+    lines.insert(5, "")  # empty line mid-file
+    lines.append("   ")  # whitespace-only line
+    path = tmp_path / "ratings.dat"
+    path.write_text("\n".join(lines) + "\n")
+
+    got = parse_interactions_file(str(path), delimiter=delim, header=header)
+    ref = _python_read_interactions(str(path), delimiter=delim, header=header)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+
+    # no trailing newline + no rating column
+    path2 = tmp_path / "pairs.csv"
+    path2.write_bytes(b"3,7\n9,2,\n5,5")
+    got2 = parse_interactions_file(str(path2), delimiter=",",
+                                   use_cols={"user_id": 0, "item_id": 1})
+    ref2 = _python_read_interactions(str(path2), delimiter=",",
+                                     use_cols={"user_id": 0, "item_id": 1})
+    for g, r in zip(got2, ref2):
+        np.testing.assert_array_equal(g, r)
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_vectorized_dedup_matches_dict(keep):
+    """_dedup's vectorized implementation reproduces the reference's dict
+    pass exactly: first-occurrence output order, keep='last' placing the
+    last duplicate's value at the first occurrence's position."""
+    from ganmf_tpu.data.reader import _dedup
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    rows = rng.randint(0, 40, n).astype(np.int64)
+    cols = rng.randint(0, 30, n).astype(np.int64)
+    data = rng.rand(n).astype(np.float32)
+
+    seen = {}
+    for idx in range(n):
+        key = (rows[idx], cols[idx])
+        if keep == "first":
+            if key not in seen:
+                seen[key] = idx
+        else:
+            seen[key] = idx
+    ref_idx = np.fromiter(seen.values(), dtype=np.int64)
+
+    r, c, d = _dedup(rows, cols, data, keep=keep)
+    np.testing.assert_array_equal(r, rows[ref_idx])
+    np.testing.assert_array_equal(c, cols[ref_idx])
+    np.testing.assert_array_equal(d, data[ref_idx])
+
+    # empty input passes through
+    e = np.array([], dtype=np.int64)
+    out = _dedup(e, e, np.array([], np.float32), keep=keep)
+    assert all(len(x) == 0 for x in out)

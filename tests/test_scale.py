@@ -46,6 +46,8 @@ def test_streamed_gram_row_weights(monkeypatch):
 
 
 def test_puresvd_streamed_matches_dense(monkeypatch):
+    from ganmf_tpu.models import puresvd as puresvd_mod
+
     urm = _rand_urm(u=70, i=30, seed=5)
     m_dense = PureSVDRecommender(urm)
     m_dense.fit(num_factors=8, random_seed=7)
@@ -53,11 +55,46 @@ def test_puresvd_streamed_matches_dense(monkeypatch):
 
     m_str = PureSVDRecommender(urm)
     monkeypatch.setattr(type(m_str), "_DENSE_URM_BYTE_LIMIT", 1)
+    monkeypatch.setattr(puresvd_mod, "_RESIDENT_BF16_LIMIT", 0)  # pin streamed
     assert m_str._urm_streams()
     m_str.fit(num_factors=8, random_seed=7)
     scores_str = np.asarray(m_str.score_device(np.arange(10)))
     # same RNG key, same range-finder: factors agree to float tolerance
     np.testing.assert_allclose(scores_dense, scores_str, rtol=5e-4, atol=5e-5)
+
+
+def test_puresvd_resident_bf16_matches_dense(monkeypatch):
+    """The resident-bf16 randomized SVD (beyond-f32-HBM fast path) finds
+    the same rank-k model as the dense f32 program: the bf16 rounding of
+    the power iterate only perturbs the oversampled subspace, and the
+    split-plane final projection recovers ~16-bit-accurate factors. The
+    receipt is the reconstruction quality, not bitwise factors: both
+    rank-k approximations must be near the f64 optimum."""
+    from ganmf_tpu.models import puresvd as puresvd_mod
+
+    urm = _rand_urm(u=96, i=40, density=0.3, seed=9)
+    A = urm.toarray().astype(np.float64)
+    k = 8
+
+    m_dense = PureSVDRecommender(urm)
+    m_dense.fit(num_factors=k, random_seed=7)
+    r_dense = np.asarray(m_dense.USER_factors) @ np.asarray(m_dense.ITEM_factors).T
+
+    m_res = PureSVDRecommender(urm)
+    monkeypatch.setattr(type(m_res), "_DENSE_URM_BYTE_LIMIT", 1)
+    assert m_res._urm_streams()
+    assert m_res._urm_values_bf16_exact()  # integer ratings are bf16-exact
+    m_res.fit(num_factors=k, random_seed=7)
+    r_res = np.asarray(m_res.USER_factors) @ np.asarray(m_res.ITEM_factors).T
+
+    # optimal rank-k error from the exact SVD
+    s = np.linalg.svd(A, compute_uv=False)
+    opt = np.sqrt((s[k:] ** 2).sum())
+    err_dense = np.linalg.norm(A - r_dense)
+    err_res = np.linalg.norm(A - r_res)
+    assert err_res <= err_dense * (1 + 1e-3), (err_res, err_dense, opt)
+    # and the two models agree pointwise to bf16-subspace tolerance
+    np.testing.assert_allclose(r_res, r_dense, rtol=0, atol=5e-3 * np.abs(r_dense).max())
 
 
 def test_streamed_profile_rows_eval_equivalence(monkeypatch):
