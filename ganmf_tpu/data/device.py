@@ -153,17 +153,33 @@ def padded_csr_from_sparse(mat: sps.spmatrix) -> PaddedCSR:
     return PaddedCSR(idx, val)
 
 
-def padded_rows_dense(pc: PaddedCSR, uids: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+def padded_rows_dense(
+    pc: PaddedCSR, uids: jnp.ndarray, n_cols: int, max_len: int = None
+) -> jnp.ndarray:
     """Densify a batch of rows on device: gather the padded entries and
-    scatter into a [B, n_cols] zeros block (sentinel column dropped)."""
+    scatter into a [B, n_cols] zeros block (sentinel column dropped).
+
+    ``max_len`` crops the gathered planes to the first ``max_len`` slots —
+    exact whenever every selected row has at most ``max_len`` stored
+    entries (padded-CSR rows are left-justified, the tail is all
+    sentinel). The scatter cost is O(B * L): at heavy-tailed shapes the
+    global L is ~15x the mean row length, so a caller that blocks rows by
+    length class (the evaluator does) drops nearly all of the
+    sentinel-column scatter traffic, which collides on one column and
+    serializes."""
     bi = jnp.take(pc.idx, uids, axis=0)  # [B, L]
     bv = jnp.take(pc.val, uids, axis=0)
+    if max_len is not None and max_len < bi.shape[1]:
+        bi = bi[:, :max_len]
+        bv = bv[:, :max_len]
     B = bi.shape[0]
     out = jnp.zeros((B, n_cols + 1), bv.dtype)
     out = out.at[jnp.arange(B)[:, None], bi].add(bv)
     return out[:, :n_cols]
 
 
-def padded_rows_mask(pc: PaddedCSR, uids: jnp.ndarray, n_cols: int) -> jnp.ndarray:
+def padded_rows_mask(
+    pc: PaddedCSR, uids: jnp.ndarray, n_cols: int, max_len: int = None
+) -> jnp.ndarray:
     """Boolean seen-mask rows from the padded storage."""
-    return padded_rows_dense(pc, uids, n_cols) != 0
+    return padded_rows_dense(pc, uids, n_cols, max_len=max_len) != 0

@@ -91,12 +91,25 @@ def _pair_rmse_from_probe(ps, pf, tvals, pvalid):
     return jnp.where(cnt > 0, jnp.sqrt(jnp.sum(sq, axis=1) / jnp.maximum(cnt, 1.0)), jnp.nan)
 
 
-def _seen_rows(model, uids: jnp.ndarray) -> jnp.ndarray:
+def _seen_rows(model, uids: jnp.ndarray, max_len: int = None) -> jnp.ndarray:
     """[B, I] bool seen-mask rows; duck-typed models may only provide the
-    dense device_train_mask."""
+    dense device_train_mask. ``max_len`` crops the streamed scatter to the
+    caller's per-block profile-length bound (see evaluateRecommender's
+    length-ordered blocks)."""
     if hasattr(model, "device_seen_rows"):
-        return model.device_seen_rows(uids)
+        try:
+            return model.device_seen_rows(uids, max_len=max_len)
+        except TypeError:  # duck-typed models without the crop kwarg
+            return model.device_seen_rows(uids)
     return jnp.take(model.device_train_mask(), uids, axis=0)
+
+
+def _pow2_crop(max_needed: int, full: int) -> int:
+    """Smallest power-of-two >= max_needed (floor 8), capped at full — the
+    per-block gather/scatter width. Quantizing to powers of two bounds the
+    number of distinct compiled block programs at log2(L)."""
+    m = max(8, int(max_needed))
+    return min(int(full), 1 << (m - 1).bit_length())
 
 
 def get_result_string(results_run: Dict, n_decimals: int = 7) -> str:
@@ -193,7 +206,7 @@ class _BaseEvaluator:
 
     # -- model interface -----------------------------------------------------
 
-    def _score_block(self, model, user_ids: np.ndarray) -> jnp.ndarray:
+    def _score_block(self, model, user_ids: np.ndarray, max_len: int = None) -> jnp.ndarray:
         """[B, I] device scores with seen/custom-item masking applied."""
         uids = jnp.asarray(user_ids, dtype=jnp.int32)
         if hasattr(model, "score_device"):
@@ -203,7 +216,7 @@ class _BaseEvaluator:
                 np.asarray(model._compute_item_score(np.asarray(user_ids)), dtype=np.float32)
             )
         if self.exclude_seen:
-            scores = jnp.where(_seen_rows(model, uids), -jnp.inf, scores)
+            scores = jnp.where(_seen_rows(model, uids, max_len=max_len), -jnp.inf, scores)
         if self._ignore_items_mask is not None:
             scores = jnp.where(self._ignore_items_mask[None, :], -jnp.inf, scores)
         return scores
@@ -231,14 +244,15 @@ class _BaseEvaluator:
             and not getattr(model, "use_bias", False)
         )
 
-    def _fused_block(self, model, uids_np: np.ndarray):
+    def _fused_block(self, model, uids_np: np.ndarray, max_len: int = None,
+                     pair_len: int = None):
         from ganmf_tpu.ops.pallas_scorer import masked_topk_scores
 
         uids = jnp.asarray(uids_np, dtype=jnp.int32)
         U, V, cold = model._factors_device()
         U_b = jnp.take(U, uids, axis=0)
         if self.exclude_seen:
-            seen = _seen_rows(model, uids)
+            seen = _seen_rows(model, uids, max_len=max_len)
         else:
             seen = jnp.zeros((len(uids_np), self.n_items), bool)
         if self._ignore_items_mask is not None:
@@ -254,11 +268,13 @@ class _BaseEvaluator:
         vals = jnp.where(cold_b[:, None], -jnp.inf, vals)
 
         ids, tvals, pvalid = self._padded_test_arrays()
-        seen_pairs = jnp.take_along_axis(seen, jnp.take(ids, uids, axis=0), axis=1)
+        tp = pair_len if pair_len is not None else ids.shape[1]
+        pair_ids = jnp.take(ids, uids, axis=0)[:, :tp]
+        seen_pairs = jnp.take_along_axis(seen, pair_ids, axis=1)
         user_rmse = _pair_rmse(
             U_b, V, cold_b,
-            jnp.take(ids, uids, axis=0), jnp.take(tvals, uids, axis=0),
-            jnp.take(pvalid, uids, axis=0), seen_pairs,
+            pair_ids, jnp.take(tvals, uids, axis=0)[:, :tp],
+            jnp.take(pvalid, uids, axis=0)[:, :tp], seen_pairs,
         )
         return vals, idx, user_rmse
 
@@ -289,7 +305,9 @@ class _BaseEvaluator:
             return model._w_device() is not False
         return False
 
-    def _fused_sim_block(self, model, uids_np: np.ndarray):
+    def _fused_sim_block(self, model, uids_np: np.ndarray, max_len: int = None,
+                         pair_len: int = None):
+        from ganmf_tpu.models import base as base_mod
         from ganmf_tpu.ops.pallas_scorer import masked_topk_matmul
 
         uids = jnp.asarray(uids_np, dtype=jnp.int32)
@@ -299,27 +317,60 @@ class _BaseEvaluator:
         # base._SIM_SPLIT_MIN_ITEMS (3x the MXU rate of the HIGHEST
         # contraction at ~1e-5 relative score error; small catalogs keep the
         # bitwise HIGHEST path so exact ties rank identically to recommend())
-        rows, right = model._fused_serving_operands(uids)
-        if self.exclude_seen:
-            seen = _seen_rows(model, uids)
+        rows, right = model._fused_serving_operands(uids, max_len=max_len)
+        # past the same gate, ranking is allowed the TPU-native PartialReduce
+        # top-k (exact values, implementation tie order) — below it the
+        # tiled merge keeps lax.top_k's lowest-index ties
+        large = self.n_items >= base_mod._SIM_SPLIT_MIN_ITEMS
+        # item-based models score with exactly the profile that defines
+        # "seen": derive the mask from the left operand inside the fused
+        # program instead of re-scattering identical [B, I] rows
+        mask_from_rows = (
+            self.exclude_seen
+            and self._ignore_items_mask is None
+            and isinstance(model, base_mod.ItemSimilarityRecommender)
+            and not isinstance(rows, tuple)
+        )
+        if mask_from_rows:
+            seen = None
+        elif self.exclude_seen:
+            seen = _seen_rows(model, uids, max_len=max_len)
         else:
             seen = jnp.zeros((len(uids_np), self.n_items), bool)
-        if self._ignore_items_mask is not None:
+        if not mask_from_rows and self._ignore_items_mask is not None:
             seen = seen | self._ignore_items_mask[None, :]
 
         ids, tvals, pvalid = self._padded_test_arrays()
-        pair_ids = jnp.take(ids, uids, axis=0)
+        tp = pair_len if pair_len is not None else ids.shape[1]
+        pair_ids = jnp.take(ids, uids, axis=0)[:, :tp]
         vals, idx, ps, pf = masked_topk_matmul(
-            rows, right, seen, pair_ids, k=self.max_cutoff
+            rows, right, seen, pair_ids, k=self.max_cutoff,
+            mask_from_rows=mask_from_rows, use_approx=large,
         )
         user_rmse = _pair_rmse_from_probe(
-            ps, pf, jnp.take(tvals, uids, axis=0), jnp.take(pvalid, uids, axis=0)
+            ps, pf, jnp.take(tvals, uids, axis=0)[:, :tp],
+            jnp.take(pvalid, uids, axis=0)[:, :tp]
         )
         return vals, idx, user_rmse
 
     # -- main entry ------------------------------------------------------------
 
     def evaluateRecommender(self, recommender_object):
+        try:
+            return self._evaluate_pass(recommender_object)
+        except Exception as err:  # pragma: no cover - HBM-pressure path
+            if "RESOURCE_EXHAUSTED" not in str(err):
+                raise
+            # Device stats stay async through the block loop, so a block OOM
+            # can surface only at the FINAL readback — past the per-block
+            # degrade catch, with the accumulators poisoned. Drop the
+            # rebuildable fused operand caches (the bf16 W planes alone hold
+            # [I, I] HBM) and redo the whole pass through the streamed path.
+            if getattr(recommender_object, "_device_w_planes", None) is not None:
+                recommender_object._device_w_planes = None
+            return self._evaluate_pass(recommender_object, allow_fused=False)
+
+    def _evaluate_pass(self, recommender_object, allow_fused: bool = True):
         if self.ignore_items_flag and hasattr(recommender_object, "set_items_to_ignore"):
             recommender_object.set_items_to_ignore(self.ignore_items_ID)
 
@@ -348,6 +399,16 @@ class _BaseEvaluator:
         block_size = int(min(4096, max(1, 1e8 / max(self.n_items, 1))))
         users = np.asarray(self.usersToEvaluate, dtype=np.int64)
         n_eval = len(users)
+        # Evaluate users in training-profile-length order: streamed models
+        # scatter [B, L]-padded rows per block, and at heavy-tailed shapes
+        # the global L is ~15x the mean row length — length-classed blocks
+        # crop their gather/scatter width to their own class (power-of-two
+        # quantized, so at most log2(L) distinct compiled programs). The
+        # accumulated metric sums are evaluation-order independent.
+        train_lens = np.ediff1d(urm_train.indptr).astype(np.int64)
+        test_lens = np.ediff1d(self.URM_test.indptr).astype(np.int64)
+        if n_eval:
+            users = users[np.argsort(train_lens[users], kind="stable")]
         if n_eval:
             # equalize blocks to the evaluated-user count: padding is pure
             # wasted compute (LastFM's 1884 users padded to one 4096 block
@@ -369,8 +430,10 @@ class _BaseEvaluator:
         counter_acc = jnp.zeros((len(cutoffs), self.n_items), dtype=jnp.float32)
         diversity_values = [0.0] * len(cutoffs)
 
-        use_fused = self._can_fuse(recommender_object)
-        use_fused_sim = (not use_fused) and self._can_fuse_sim(recommender_object)
+        use_fused = allow_fused and self._can_fuse(recommender_object)
+        use_fused_sim = (
+            allow_fused and not use_fused and self._can_fuse_sim(recommender_object)
+        )
 
         start = 0
         while start < n_eval:
@@ -379,15 +442,28 @@ class _BaseEvaluator:
             uids = np.concatenate([chunk, np.zeros(pad, dtype=np.int64)]) if pad else chunk
             valid = np.concatenate([np.ones(len(chunk), bool), np.zeros(pad, bool)]) if pad else np.ones(len(chunk), bool)
 
+            # per-block crop widths; pad users (valid=False) may exceed the
+            # crop — their cropped rows are never counted. Caps are the
+            # global max lengths (padded planes are at least that wide;
+            # padded_rows_dense ignores crops past its plane width).
+            crop_train = _pow2_crop(train_lens[chunk].max(), train_lens.max())
+            crop_test = _pow2_crop(test_lens[chunk].max(), test_lens.max())
+
             uids_j = jnp.asarray(uids, dtype=jnp.int32)
-            test_rows = padded_rows_dense(self._test_padded, uids_j, self.n_items)
+            test_rows = padded_rows_dense(
+                self._test_padded, uids_j, self.n_items, max_len=crop_test
+            )
 
             if use_fused or use_fused_sim:
                 try:
                     if use_fused:
-                        top_vals, top_idx, user_rmse = self._fused_block(recommender_object, uids)
+                        top_vals, top_idx, user_rmse = self._fused_block(
+                            recommender_object, uids,
+                            max_len=crop_train, pair_len=crop_test)
                     else:
-                        top_vals, top_idx, user_rmse = self._fused_sim_block(recommender_object, uids)
+                        top_vals, top_idx, user_rmse = self._fused_sim_block(
+                            recommender_object, uids,
+                            max_len=crop_train, pair_len=crop_test)
                 except Exception as err:  # pragma: no cover - HBM-pressure path
                     # the fused rankers hold extra [B, I]/[I, I] operands; at
                     # marginal HBM (e.g. a 2.9 GB device W right after large
@@ -416,7 +492,7 @@ class _BaseEvaluator:
                     max_cutoff=self.max_cutoff,
                 )
             else:
-                scores = self._score_block(recommender_object, uids)
+                scores = self._score_block(recommender_object, uids, max_len=crop_train)
                 scores = self._restrict_candidates(scores, uids)
                 if _debug_enabled() and bool(jnp.isnan(scores).any()):
                     raise FloatingPointError(

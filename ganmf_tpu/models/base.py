@@ -217,24 +217,26 @@ class Recommender:
             self._seen_padded = padded_csr_from_sparse(self.URM_train)
         return self._seen_padded
 
-    def device_seen_rows(self, uids: jnp.ndarray) -> jnp.ndarray:
+    def device_seen_rows(self, uids: jnp.ndarray, max_len: int = None) -> jnp.ndarray:
         """[B, I] bool seen-mask rows for the given users. Default gathers
         from the dense [U, I] mask; streamed models (and any model whose
         dense URM would exceed the HBM budget) build the rows by scatter
-        instead, keeping eval O(nnz) in HBM too."""
+        instead, keeping eval O(nnz) in HBM too. ``max_len`` (streamed path
+        only) crops the scatter to a caller-guaranteed row-length bound —
+        see data/device.padded_rows_dense."""
         if self._urm_streams():
             from ganmf_tpu.data.device import padded_rows_mask
 
-            return padded_rows_mask(self._padded_urm(), uids, self.n_items)
+            return padded_rows_mask(self._padded_urm(), uids, self.n_items, max_len=max_len)
         return jnp.take(self.device_train_mask(), uids, axis=0)
 
-    def device_profile_rows(self, uids: jnp.ndarray) -> jnp.ndarray:
+    def device_profile_rows(self, uids: jnp.ndarray, max_len: int = None) -> jnp.ndarray:
         """[B, I] f32 rating-profile rows; same streaming policy as
         device_seen_rows."""
         if self._urm_streams():
             from ganmf_tpu.data.device import padded_rows_dense
 
-            return padded_rows_dense(self._padded_urm(), uids, self.n_items)
+            return padded_rows_dense(self._padded_urm(), uids, self.n_items, max_len=max_len)
         return self.device_urm().rows(uids)
 
     def _urm_values_bf16_exact(self) -> bool:
@@ -735,11 +737,11 @@ class ItemSimilarityRecommender(Recommender):
         profiles = self.device_profile_rows(user_ids)
         return jnp.dot(profiles, W, precision=jax.lax.Precision.HIGHEST)
 
-    def _fused_serving_operands(self, uids: jnp.ndarray):
+    def _fused_serving_operands(self, uids: jnp.ndarray, max_len: int = None):
         W = self._w_device()
         if W is False:
             return None
-        rows = self.device_profile_rows(uids)
+        rows = self.device_profile_rows(uids, max_len=max_len)
         if self._urm_values_bf16_exact() and self.n_items >= _SIM_SPLIT_MIN_ITEMS:
             planes = self._w_device_split()
             if planes is not False:
@@ -828,7 +830,10 @@ class UserSimilarityRecommender(Recommender):
         rows = jnp.take(W, user_ids, axis=0)  # [B, U]
         return jnp.dot(rows, self.device_urm().dense, precision=jax.lax.Precision.HIGHEST)
 
-    def _fused_serving_operands(self, uids: jnp.ndarray):
+    def _fused_serving_operands(self, uids: jnp.ndarray, max_len: int = None):
+        # max_len is a profile-length bound; user-based rows are W[u], so it
+        # does not apply here (accepted for signature parity with the
+        # item-based variant the evaluator threads block crops through)
         W = self._w_device()
         if W is False:
             return None

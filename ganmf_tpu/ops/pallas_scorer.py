@@ -61,13 +61,15 @@ def _scorer_kernel(u_ref, v_ref, mask_ref, vals_ref, idx_ref, *, k: int, tile: i
     idx_ref[:] = jnp.stack(sel_idx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "mask_from_rows", "use_approx"))
 def masked_topk_matmul(
     rows: jnp.ndarray,  # [B, C] left operand (e.g. dense URM rows)
     W: jnp.ndarray,  # [C, I] right operand (dense similarity/URM matrix)
-    seen_mask: jnp.ndarray,  # [B, I] nonzero = exclude
+    seen_mask: jnp.ndarray,  # [B, I] nonzero = exclude; None with mask_from_rows
     pair_ids: jnp.ndarray,  # [B, P] test item ids per row (0-padded)
     k: int,
+    mask_from_rows: bool = False,
+    use_approx: bool = False,
 ):
     """`top_k(mask(rows @ W))` plus a test-pair probe, for the
     similarity-family serving path `URM[u] @ W` (item-based) and
@@ -97,6 +99,24 @@ def masked_topk_matmul(
     the catalog-sized similarity eval spends its time at ML-20M scale.
     Ranking goes through ``tiled_topk`` (value- and tie-identical to
     ``lax.top_k``) so the sort never materializes full-catalog-width rows.
+
+    ``mask_from_rows=True`` derives the exclusion mask from the LEFT operand
+    instead of ``seen_mask`` (pass None): for item-based similarity scoring
+    the left operand IS the user's training profile, i.e. exactly the
+    exclude-seen set, and the [B, I] seen rows would otherwise be re-built
+    by a second scatter identical to the one that built ``rows`` (measured
+    85 ms/block at ML-20M — ~30% of the whole fused block). Value-exact:
+    both the mask and the profile are value-nonzero tests of the same
+    stored entries (data/device.padded_rows_mask is `padded_rows_dense !=
+    0`).
+
+    ``use_approx=True`` ranks with the TPU-native PartialReduce
+    (``lax.approx_max_k`` at recall_target=1.0 — exhaustive, no candidate
+    is dropped) instead of ``tiled_topk``. Exact top-k VALUES; ties may
+    resolve to a different equal-scored item than top_k's lowest-index
+    order, so callers only set it in the regime that already forgoes
+    bitwise tie parity (catalogs past the split-plane gate,
+    models/base._SIM_SPLIT_MIN_ITEMS).
     """
     from ganmf_tpu.ops.topk import tiled_topk
 
@@ -118,8 +138,18 @@ def masked_topk_matmul(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    s = jnp.where(seen_mask, -jnp.inf, s)
-    vals, idx = tiled_topk(s, k)
+    if mask_from_rows:
+        assert not isinstance(rows, tuple), (
+            "mask_from_rows requires the single-array left operand (the"
+            " user profile); plane-split left operands are user-based W"
+            " rows, not profiles")
+        s = jnp.where(rows != 0, -jnp.inf, s)
+    if seen_mask is not None:
+        s = jnp.where(seen_mask, -jnp.inf, s)
+    if use_approx:
+        vals, idx = jax.lax.approx_max_k(s, k, recall_target=1.0)
+    else:
+        vals, idx = tiled_topk(s, k)
     ps = jnp.take_along_axis(s, pair_ids, axis=1)
     fin = jnp.isfinite(ps)
     return vals, idx, jnp.where(fin, ps, 0.0), fin.astype(jnp.float32)

@@ -19,7 +19,9 @@ import numpy as np
 
 
 def t(label, fn, n=3):
+    t0 = time.time()
     float(fn())  # warm (compile)
+    print(f"  [{label}] warm/compile {time.time()-t0:.1f}s", flush=True)
     best = float("inf")
     for _ in range(n):
         t0 = time.time()
@@ -53,7 +55,7 @@ def main():
     print(f"B={len(users)}, I={ev.n_items}, blocks={n_blocks}", flush=True)
 
     t("operands (profile rows + W planes)",
-      lambda: sum(jnp.sum(x.astype(jnp.float32))
+      lambda: sum(jnp.sum(x, dtype=jnp.float32)
                   for pair in m._fused_serving_operands(uids)
                   for x in (pair if isinstance(pair, tuple) else (pair,))))
 

@@ -100,3 +100,84 @@ def test_split_plane_serving_gate(urm_pair, monkeypatch):
             for u, (lf, lr) in enumerate(zip(fused, ref)):
                 if lf != lr:
                     assert sorted(np.round(s64[u, lf], 12)) == sorted(np.round(s64[u, lr], 12)), u
+
+
+def test_masked_topk_matmul_mask_from_rows_and_approx(urm_pair):
+    """mask_from_rows derives the exclusion from the left operand (the
+    user profile) — identical output to an explicit seen mask; use_approx
+    (lax.approx_max_k at recall 1.0) returns the exact top-k values."""
+    import jax.numpy as jnp
+
+    from ganmf_tpu.ops.pallas_scorer import masked_topk_matmul
+
+    rng = np.random.RandomState(11)
+    B, I, P, k = 16, 120, 6, 10
+    rows = (rng.rand(B, I) < 0.2).astype(np.float32)
+    W = rng.randn(I, I).astype(np.float32)
+    pair_ids = rng.randint(0, I, (B, P)).astype(np.int32)
+    rows_j, W_j = jnp.asarray(rows), jnp.asarray(W)
+    pid = jnp.asarray(pair_ids)
+    seen = jnp.asarray(rows != 0)
+
+    ref = masked_topk_matmul(rows_j, W_j, seen, pid, k=k)
+    got = masked_topk_matmul(rows_j, W_j, None, pid, k=k, mask_from_rows=True)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ap = masked_topk_matmul(rows_j, W_j, seen, pid, k=k, use_approx=True)
+    # exact top-k VALUES (tie order may differ); probes identical
+    np.testing.assert_allclose(np.asarray(ap[0]), np.asarray(ref[0]), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(ap[2]), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(ap[3]), np.asarray(ref[3]))
+
+
+def test_padded_rows_dense_crop_exact():
+    """max_len crops are exact whenever every selected row's nnz fits: the
+    padded planes are left-justified with an all-sentinel tail."""
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+
+    from ganmf_tpu.data.device import padded_csr_from_sparse, padded_rows_dense, padded_rows_mask
+
+    rng = np.random.RandomState(3)
+    m = sps.random(40, 60, density=0.1, random_state=rng, format="csr", dtype=np.float32)
+    # one heavy row forces a wide global plane
+    m[0, :50] = 1.0
+    m = sps.csr_matrix(m)
+    pc = padded_csr_from_sparse(m)
+    lens = np.diff(m.indptr)
+    light = np.where(lens <= 8)[0][:10]
+    uids = jnp.asarray(light, dtype=jnp.int32)
+    full = padded_rows_dense(pc, uids, m.shape[1])
+    crop = padded_rows_dense(pc, uids, m.shape[1], max_len=8)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(crop))
+    np.testing.assert_array_equal(
+        np.asarray(padded_rows_mask(pc, uids, m.shape[1], max_len=8)),
+        np.asarray(full != 0),
+    )
+
+
+def test_eval_length_ordered_blocks_match_dense(urm_pair, monkeypatch):
+    """Length-ordered cropped blocks + mask_from_rows + approx ranking give
+    the same metrics as the pre-optimization path (forced single uncropped
+    ordering via a tiny block size and the gate pinned high/low)."""
+    from ganmf_tpu.eval import EvaluatorHoldout
+    from ganmf_tpu.models import base as base_mod
+    from ganmf_tpu.models.itemknn import ItemKNNCFRecommender
+
+    train, test = urm_pair
+    ev = EvaluatorHoldout(test, cutoff_list=[5, 10])
+
+    m = ItemKNNCFRecommender(train)
+    m.fit(topK=12, shrink=0)
+
+    monkeypatch.setattr(base_mod, "_SIM_SPLIT_MIN_ITEMS", 10**9)
+    ref, _ = ev.evaluateRecommender(m)
+
+    monkeypatch.setattr(base_mod, "_SIM_SPLIT_MIN_ITEMS", 0)
+    m._device_w_planes = None
+    got, _ = ev.evaluateRecommender(m)
+
+    for c in ref:
+        for metric in ("MAP", "NDCG", "PRECISION", "RECALL", "RMSE"):
+            assert got[c][metric] == pytest.approx(ref[c][metric], abs=2e-5), (c, metric)
