@@ -318,10 +318,12 @@ class _BaseEvaluator:
         # contraction at ~1e-5 relative score error; small catalogs keep the
         # bitwise HIGHEST path so exact ties rank identically to recommend())
         rows, right = model._fused_serving_operands(uids, max_len=max_len)
-        # past the same gate, ranking is allowed the TPU-native PartialReduce
-        # top-k (exact values, implementation tie order) — below it the
-        # tiled merge keeps lax.top_k's lowest-index ties
-        large = self.n_items >= base_mod._SIM_SPLIT_MIN_ITEMS
+        # ranking stays on tiled_topk at every size: approx_max_k at
+        # recall_target=1.0 lowers to a full-row sort whose value+index
+        # temps (~0.8 GB per 3.7k-user block at ML-20M) OOM exactly the
+        # catalog sizes it would help — measured, see masked_topk_matmul's
+        # use_approx note
+        large = False
         # item-based models score with exactly the profile that defines
         # "seen": derive the mask from the left operand inside the fused
         # program instead of re-scattering identical [B, I] rows
@@ -538,6 +540,15 @@ class _BaseEvaluator:
             counter_acc = counter_acc + stats.counters
 
             start += block_size
+            # Throttle in-flight dispatch: async blocks each pin [B, I]-scale
+            # operands and executable temps in HBM until they execute, and an
+            # unbounded queue can exhaust the device at catalog-scale shapes
+            # (the accumulator chains every prior block, so this waits for
+            # all of them). A handful of blocks in flight keeps the device
+            # busy; the sync round trip is microseconds against a block's
+            # hundreds of milliseconds of compute.
+            if (start // block_size) % 4 == 0:
+                jax.block_until_ready(scalar_acc)
 
         # one packed device->host transfer: on latency-bound links every
         # separate readback costs a full round trip

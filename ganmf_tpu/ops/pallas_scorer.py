@@ -110,13 +110,12 @@ def masked_topk_matmul(
     stored entries (data/device.padded_rows_mask is `padded_rows_dense !=
     0`).
 
-    ``use_approx=True`` ranks with the TPU-native PartialReduce
-    (``lax.approx_max_k`` at recall_target=1.0 — exhaustive, no candidate
-    is dropped) instead of ``tiled_topk``. Exact top-k VALUES; ties may
-    resolve to a different equal-scored item than top_k's lowest-index
-    order, so callers only set it in the regime that already forgoes
-    bitwise tie parity (catalogs past the split-plane gate,
-    models/base._SIM_SPLIT_MIN_ITEMS).
+    ``use_approx=True`` ranks with ``lax.approx_max_k`` at
+    recall_target=1.0 (exhaustive — exact top-k VALUES, implementation tie
+    order) instead of ``tiled_topk``. Kept for experimentation only: at
+    recall 1.0 XLA lowers it to a full-row sort whose value+index temps
+    (~0.8 GB per 3.7k-user block at ML-20M) OOM'd a 20M evaluation on
+    chip — the tiled merge exists precisely to avoid that sort footprint.
     """
     from ganmf_tpu.ops.topk import tiled_topk
 

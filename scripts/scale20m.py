@@ -172,23 +172,33 @@ def main(stages):
         from ganmf_tpu.models import ItemKNNCFRecommender
         from ganmf_tpu.ops import similarity as simmod
 
-        m = ItemKNNCFRecommender(train)
+        def _timed_knn_fit():
+            # device-authoritative W: fit() returns with W still enqueued on
+            # the device, so the timing must end with a value readback (the
+            # only honest sync on this backend — see PERF.md notes). Without
+            # it the r5 remeasure clocked 0.79 s = 128% of bf16 peak.
+            mm = ItemKNNCFRecommender(train)
+            t0 = time.time()
+            mm.fit(topK=300, shrink=0, similarity="cosine")
+            w = mm._device_w
+            if w is not None and w is not False:
+                float(jnp.sum(w))
+            return mm, time.time() - t0
+
         assert 4 * train.shape[0] * train.shape[1] > simmod._DENSE_A_BYTE_LIMIT, \
             "20M must take the streamed Gram"
-        t0 = time.time()
-        m.fit(topK=300, shrink=0, similarity="cosine")
-        fit_s = time.time() - t0
+        m, fit_s = _timed_knn_fit()
+        # free the cold model before refitting: two resident dense Ws
+        # (2 x 2.9 GB at I=26,744) beside the streamed-Gram operands
+        # exhausted HBM when the r5 remeasure kept both alive
+        del m
         # second fit = steady-state: the first pays one-time program compile
         # (30-350 s on this shared tunneled backend when the persistent
         # cache is cold — see _evaluate's note)
-        m2 = ItemKNNCFRecommender(train)
-        t0 = time.time()
-        m2.fit(topK=300, shrink=0, similarity="cosine")
-        fit2_s = time.time() - t0
-        del m2
+        m, fit2_s = _timed_knn_fit()
         _record_perf("ItemKNN[20M] cosine build (topK=300, streamed Gram)",
                      min(fit_s, fit2_s),
-                     f"steady state + [I,k] readback; cold first fit {fit_s:.1f}s")
+                     f"steady state + value-readback sync; cold first fit {fit_s:.1f}s")
         res, eval_s = _evaluate(ev, m)
         _save_metrics("ItemKNN_cosine", res, fit_s, eval_s, n_eval)
         _record_perf("Eval[20M] similarity-family (ItemKNN) 138493 users", eval_s,
