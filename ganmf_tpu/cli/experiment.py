@@ -56,7 +56,10 @@ DATASET_KWARGS = dict(
     verbose=False, split=True, split_ratio=[0.8, 0.2, 0], min_ratings_user=2,
 )
 
-ALL_DATASETS = ["1M", "hetrec2011", "LastFM"]
+# the reference's experiment trio plus the larger Movielens versions the
+# dataset catalog supports (datasets/Movielens.py specs); the shell-loop
+# workload (get_best_params.sh) iterates only over the first three
+ALL_DATASETS = ["1M", "hetrec2011", "LastFM", "100K", "10M", "20M"]
 ALL_RECOMMENDERS = [
     "TopPop", "PureSVD", "ALS", "SLIMBPR", "ItemKNN", "P3Alpha",
     "CFGAN", "CAAE", "GANMF", "DisGANMF",
@@ -356,8 +359,10 @@ def main(arguments: List[str]):
 
     for arg in arguments:
         if arg == "--build-dataset":
+            # keep scanning: the dataset name may follow the flag (USAGE
+            # shows "[--build-dataset] <dataset> <rec>")
             build_dataset = True
-            break
+            continue
         if arg in ALL_RECOMMENDERS and algo is None:
             algo = arg
         if arg in SIMILARITIES and sim is None:

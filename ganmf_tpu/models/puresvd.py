@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ganmf_tpu.data.device import dense_bf16_from_padded as _dense_bf16_from_padded
 from ganmf_tpu.models.base import MatrixFactorizationRecommender
 
 
@@ -71,23 +72,8 @@ def _puresvd_factors(A: jnp.ndarray, key, num_factors: int, n_iter: int):
     return U, (S[:, None] * Vt).T
 
 
-@functools.partial(jax.jit, static_argnames=("n_cols", "chunk"))
-def _dense_bf16_from_padded(idx, val, n_cols: int, chunk: int):
-    """Materialize the interaction matrix as dense bf16 [R, n_cols]
-    (2 bytes/element — 7.4 GB at ML-20M where f32 is 14.8 GB). Exact when
-    every stored value is bf16-representable (binary data always is).
-    Built chunk-by-chunk from the padded-CSR planes."""
-    R = idx.shape[0]
-    n_chunks = R // chunk
-
-    def body(c, A):
-        bi = jax.lax.dynamic_slice_in_dim(idx, c * chunk, chunk)
-        bv = jax.lax.dynamic_slice_in_dim(val, c * chunk, chunk)
-        D = jnp.zeros((chunk, n_cols + 1), jnp.float32)
-        D = D.at[jnp.arange(chunk)[:, None], bi].add(bv)[:, :n_cols]
-        return jax.lax.dynamic_update_slice(A, D.astype(jnp.bfloat16), (c * chunk, 0))
-
-    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((R, n_cols), jnp.bfloat16))
+# _dense_bf16_from_padded moved to data/device.py (imported above) so the
+# similarity Gram can share it
 
 
 @functools.partial(jax.jit, static_argnames=("num_factors", "n_oversample", "n_iter"))

@@ -211,6 +211,31 @@ def _gram_streamed(idx, val, w_pad, n_cols: int, chunk: int, use_row_weights: bo
     return jax.lax.fori_loop(0, n_chunks, body, G0)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _gram_resident_bf16(Ab, chunk: int):
+    """G = A^T A over a RESIDENT dense bf16 A — no per-chunk scatter.
+
+    _gram_streamed re-scatters every padded-CSR row chunk into a dense
+    block before its matmul; when the whole bf16 matrix fits in HBM
+    (7.4 GB at ML-20M) that scatter traffic is pure overhead — the same
+    diagnosis that motivated the resident-A randomized SVD
+    (models/puresvd.py) and the int8 column-blocked build (:338). Each
+    pass slices ``chunk`` resident rows and lets the MXU accumulate
+    slice^T @ slice into the f32 Gram: identical chunking, dtype and
+    accumulation order to _gram_streamed's bf16 path, so the result is
+    bitwise-equal (asserted in tests/test_similarity.py)."""
+    R, I = Ab.shape
+    n_chunks = R // chunk
+
+    def body(c, G):
+        D = jax.lax.dynamic_slice_in_dim(Ab, c * chunk, chunk)
+        return G + jax.lax.dot_general(
+            D, D, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    return jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((I, I), jnp.float32))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "topk", "n_rows", "normalize", "normalize_avg_row", "distance_mode", "use_row_weights"),
@@ -625,8 +650,32 @@ def compute_similarity(
                 done = off + width
             vals, idx = vals_np, idx_np
         else:
-            G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk,
-                               use_row_weights=gram_rw, bf16_ok=bf16_ok and not gram_rw)
+            n_rows_pad = idx_a.shape[0]
+            # binary data whose dense bf16 matrix fits beside the f32 Gram
+            # and the padded planes: keep A resident and accumulate the
+            # Gram from resident row slices — drops the per-chunk scatter
+            # that dominates _gram_streamed (measured 8.1 s -> see PERF.md
+            # ItemKNN[20M] row)
+            resident = (
+                bf16_ok and not gram_rw
+                and 2 * n_rows_pad * n_cols            # resident bf16 A
+                + 4 * n_cols * n_cols                  # f32 Gram
+                + 8 * n_rows_pad * idx_a.shape[1]      # padded idx+val planes
+                + (1 << 30)
+                <= _CHIP_HBM_BYTES
+            )
+            if resident:
+                from ganmf_tpu.data.device import dense_bf16_from_padded
+
+                Ab = dense_bf16_from_padded(idx_a, val_a, n_cols=n_cols, chunk=chunk)
+                # free the padded copies before the Gram lands (the
+                # unconcatenated planes stay memoized on the train matrix)
+                del idx_a, val_a, pc
+                G = _gram_resident_bf16(Ab, chunk=chunk)
+                del Ab
+            else:
+                G = _gram_streamed(idx_a, val_a, w_pad, n_cols=n_cols, chunk=chunk,
+                                   use_row_weights=gram_rw, bf16_ok=bf16_ok and not gram_rw)
             vals, idx = _similarity_topk_from_gram(G, ss2, rw, n_rows, **kernel_kwargs)
             if export == "device":
                 from ganmf_tpu.ops.topk import scatter_col_topk_dense

@@ -86,8 +86,11 @@ def main():
     all_cells = list(cells())
     phases = ["tune", "test"] if phase_sel == "both" else [phase_sel]
     t_start = time.time()
-    for phase in phases:
-        for ds, algo, mode, sim in all_cells:
+    # cell-outer / phase-inner: each cell finishes tune AND test before the
+    # next starts, so an interrupted matrix leaves complete cells (the
+    # datasets are ordered smallest-first for the same reason)
+    for ds, algo, mode, sim in all_cells:
+        for phase in phases:
             name = cell_name(ds, algo, mode, sim)
             art = artifact(phase, ds, algo, mode, sim)
             if os.path.isfile(art) and phase == "test":

@@ -36,6 +36,21 @@ def test_streamed_gram_matches_dense(monkeypatch, similarity):
     np.testing.assert_allclose(dense.toarray(), streamed.toarray(), rtol=2e-5, atol=2e-6)
 
 
+def test_resident_gram_matches_streamed_and_dense(monkeypatch):
+    # binary data in the streamed regime takes the resident-bf16 Gram
+    # (no per-chunk scatter); starving the HBM gate falls back to the
+    # scatter-streamed bf16 Gram. Same chunking, dtype and accumulation
+    # order => bitwise-equal pruned W.
+    urm = _rand_urm(seed=5, binary=True)
+    dense = simmod.compute_similarity(urm, similarity="cosine", topK=10, shrink=1.0)
+    monkeypatch.setattr(simmod, "_DENSE_A_BYTE_LIMIT", 1)  # force streaming
+    resident = simmod.compute_similarity(urm, similarity="cosine", topK=10, shrink=1.0)
+    monkeypatch.setattr(simmod, "_CHIP_HBM_BYTES", 1)  # starve the resident gate
+    streamed = simmod.compute_similarity(urm, similarity="cosine", topK=10, shrink=1.0)
+    np.testing.assert_array_equal(resident.toarray(), streamed.toarray())
+    np.testing.assert_allclose(dense.toarray(), resident.toarray(), rtol=2e-5, atol=2e-6)
+
+
 def test_streamed_gram_row_weights(monkeypatch):
     urm = _rand_urm(seed=3)
     rw = np.random.RandomState(1).rand(urm.shape[0]).astype(np.float32) + 0.5

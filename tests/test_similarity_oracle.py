@@ -173,6 +173,33 @@ def test_padded_csr_device_build_matches_host():
         assert np.array_equal(np.asarray(got.val), val), implicit
 
 
+def test_padded_csr_content_cache():
+    """Equal-content matrices (every model .copy()s its URM) must share one
+    cached plane set; different content must not."""
+    from ganmf_tpu.data import device as devmod
+
+    devmod._PADDED_CACHE.clear()
+    urm = random_urm(23, 17, density=0.25, seed=7, implicit=True)
+    a = padded_csr_from_sparse_fresh(urm)
+    b = padded_csr_from_sparse_fresh(urm.copy())
+    assert a.idx is b.idx and a.val is b.val  # digest hit, same device arrays
+    other = urm.copy()
+    other.data = other.data * 2.0
+    c = padded_csr_from_sparse_fresh(other)
+    assert c.val is not a.val
+    assert not np.array_equal(np.asarray(c.val), np.asarray(a.val))
+    # cache=False bypasses both lookup and store
+    d = devmod.padded_csr_from_sparse(urm, cache=False)
+    assert d.idx is not a.idx
+    assert np.array_equal(np.asarray(d.idx), np.asarray(a.idx))
+
+
+def padded_csr_from_sparse_fresh(m):
+    from ganmf_tpu.data.device import padded_csr_from_sparse
+
+    return padded_csr_from_sparse(m)
+
+
 def test_colblocked_streamed_equals_dense(monkeypatch):
     """Forcing the column-blocked streamed build (tiny Gram budget) must
     reproduce the dense single-shot build to f32 round-off. The Gram itself
