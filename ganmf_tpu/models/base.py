@@ -523,6 +523,15 @@ class MatrixFactorizationRecommender(Recommender):
         self._USER_factors_store = None
         self._ITEM_factors_store = None
         self.use_bias = False
+        # rating-prediction bias terms (reference
+        # Base/BaseMatrixFactorizationRecommender.py:118-124 adds
+        # ITEM_bias + GLOBAL_bias + USER_bias[u] to the dot-product scores
+        # when use_bias): folded into augmented device factors so every
+        # scoring path (dense, fused, serving, RMSE probes) gets them from
+        # the same matmul
+        self.USER_bias = None
+        self.ITEM_bias = None
+        self.GLOBAL_bias = 0.0
         self._device_factors = None
         self._cold_user_KNN_model_available = False
         self._ItemKNNRecommender = None
@@ -562,6 +571,18 @@ class MatrixFactorizationRecommender(Recommender):
                 U = jnp.asarray(np.asarray(U, dtype=np.float32))
             if not isinstance(V, jax.Array):
                 V = jnp.asarray(np.asarray(V, dtype=np.float32))
+            if self.use_bias and self.USER_bias is not None:
+                # fold [U | bU | 1] x [V | 1 | bV + g]^T so that
+                # U'V'^T = UV^T + bU + bV + GLOBAL_bias — bitwise the
+                # reference's biased score with no extra scoring pass
+                bU = jnp.asarray(np.asarray(self.USER_bias, np.float32)).reshape(-1)
+                bV = jnp.asarray(np.asarray(self.ITEM_bias, np.float32)).reshape(-1)
+                g = jnp.float32(float(np.asarray(self.GLOBAL_bias).reshape(-1)[0])
+                                if np.ndim(self.GLOBAL_bias) else float(self.GLOBAL_bias))
+                U = jnp.concatenate(
+                    [U, bU[:, None], jnp.ones((U.shape[0], 1), U.dtype)], axis=1)
+                V = jnp.concatenate(
+                    [V, jnp.ones((V.shape[0], 1), V.dtype), (bV + g)[:, None]], axis=1)
             self._device_factors = (U, V, jnp.asarray(self._cold_user_mask))
         return self._device_factors
 
@@ -650,11 +671,18 @@ class MatrixFactorizationRecommender(Recommender):
         return out
 
     def _save_dict(self):
-        return {
+        out = {
             "USER_factors": np.asarray(self.USER_factors),
             "ITEM_factors": np.asarray(self.ITEM_factors),
             "use_bias": bool(self.use_bias),
         }
+        if self.use_bias and self.USER_bias is not None:
+            # same artifact keys as the reference
+            # (Base/BaseMatrixFactorizationRecommender.py:217-219)
+            out["USER_bias"] = np.asarray(self.USER_bias)
+            out["ITEM_bias"] = np.asarray(self.ITEM_bias)
+            out["GLOBAL_bias"] = self.GLOBAL_bias
+        return out
 
 
 class ItemSimilarityRecommender(Recommender):

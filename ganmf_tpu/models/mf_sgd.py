@@ -26,6 +26,7 @@ class _MFState(NamedTuple):
     V: jnp.ndarray  # [n_items, K]
     bU: jnp.ndarray  # [n_users]
     bV: jnp.ndarray  # [n_items]
+    bG: jnp.ndarray  # [1] global bias (reference pyx:179 GLOBAL_bias)
     cacheU: jnp.ndarray
     cacheV: jnp.ndarray
 
@@ -118,7 +119,7 @@ def _mf_epoch(
         else:  # funk_svd / asy_svd: pointwise squared error on observed cells
             pred = jnp.sum(Uu * Vi, axis=1)
             if use_bias:
-                pred = pred + jnp.take(state.bU, u) + jnp.take(state.bV, i)
+                pred = pred + state.bG[0] + jnp.take(state.bU, u) + jnp.take(state.bV, i)
             err = r_ui - pred
             dU = err[:, None] * Vi - user_reg * Uu
             dVi = err[:, None] * Uu - item_reg * Vi
@@ -135,15 +136,23 @@ def _mf_epoch(
 
         U = state.U.at[u].add(learning_rate * scale_u[:, None] * dU)
         V = state.V.at[i].add(learning_rate * scale_v[:, None] * dVi)
-        bU, bV = state.bU, state.bV
+        bU, bV, bG = state.bU, state.bV, state.bG
         if algorithm == "bpr":
             V = V.at[j].add(learning_rate * scale_v[:, None] * dVj)
         elif use_bias:
-            err = r_ui - (jnp.sum(Uu * Vi, axis=1) + jnp.take(state.bU, u) + jnp.take(state.bV, i))
+            err = r_ui - (jnp.sum(Uu * Vi, axis=1) + state.bG[0]
+                          + jnp.take(state.bU, u) + jnp.take(state.bV, i))
             bU = bU.at[u].add(learning_rate * (err - bias_reg * jnp.take(state.bU, u)))
             bV = bV.at[i].add(learning_rate * (err - bias_reg * jnp.take(state.bV, i)))
+            # batched analogue of the reference's per-sample global-bias
+            # update (pyx:341,:347). Every sample touches the global bias, so
+            # the duplicate-sum semantics used for bU/bV would scale the step
+            # by the whole chunk (lr * chunk * err — divergent); the chunk
+            # MEAN gradient is the batch-SGD step for a parameter shared by
+            # every sample in the batch.
+            bG = bG + learning_rate * jnp.mean(err - bias_reg * state.bG[0])
 
-        return _MFState(U, V, bU, bV, cu, cv), None
+        return _MFState(U, V, bU, bV, bG, cu, cv), None
 
     if presample:
         # epoch-constant sampling tables: draw every chunk's samples in one
@@ -160,13 +169,13 @@ def _mf_epoch(
 
 class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStopping):
     ALGORITHM = "funk_svd"
-    USE_BIAS = False
 
     def fit(
         self,
         epochs: int = 300,
         num_factors: int = 10,
         learning_rate: float = 0.001,
+        use_bias: bool = True,
         user_reg: float = 0.0,
         item_reg: float = 0.0,
         bias_reg: float = 0.0,
@@ -191,6 +200,10 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         # rows are stream-sensitive and the measured gain was only ~4%.
         if urm_storage not in ("dense", "csr"):
             raise ValueError(f"urm_storage must be 'dense' or 'csr', got {urm_storage!r}")
+        # use_bias defaults True for the rating-prediction models and is
+        # forced off for BPR, exactly the reference wrappers
+        # (MatrixFactorization_Cython.py:39 fit default, :184 BPR override)
+        self._use_bias = False if self.ALGORITHM == "bpr" else bool(use_bias)
         self._presample = bool(presample)
         rng = np.random.RandomState(random_seed)
         K = int(num_factors)
@@ -220,6 +233,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             V=jnp.asarray(rng.normal(0, init_std, (self.n_items, K)).astype(np.float32)),
             bU=jnp.zeros((self.n_users,), jnp.float32),
             bV=jnp.zeros((self.n_items,), jnp.float32),
+            bG=jnp.zeros((1,), jnp.float32),
             cacheU=jnp.zeros((self.n_users,), jnp.float32),
             cacheV=jnp.zeros((self.n_items,), jnp.float32),
         )
@@ -252,7 +266,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         self._train_with_early_stopping(epochs, algorithm_name=self.RECOMMENDER_NAME, **earlystopping_kwargs)
         self.USER_factors = self.USER_factors_best
         self.ITEM_factors = self.ITEM_factors_best
-        self.use_bias = False
+        self._export_biases(self._bias_best)
         self._invalidate_device_cache()
 
     def _run_epoch(self, num_epoch):
@@ -261,7 +275,7 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
             self._state, self._urm_dev, self._val, self._warm, self._pad, self._lens, sub,
             self._lr, *self._regs,
             n_items=self.n_items, n_chunks=self._n_chunks, chunk=self._chunk,
-            algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self.USE_BIAS,
+            algorithm=self.ALGORITHM, use_adagrad=self._use_adagrad, use_bias=self._use_bias,
             presample=self._presample,
         )
 
@@ -275,19 +289,38 @@ class _MFSGDBase(MatrixFactorizationRecommender, IncrementalTrainingEarlyStoppin
         self._state = coerce_pytree(self._state, state["state"])
         self._key = jnp.asarray(state["key"])
 
+    def _export_biases(self, triple):
+        """Publish (bU, bV, bG) for scoring (folded into the device factors
+        by MatrixFactorizationRecommender._factors_device), or mark the
+        model biasless."""
+        if self._use_bias and triple is not None:
+            self.USER_bias, self.ITEM_bias, self.GLOBAL_bias = triple
+            self.use_bias = True
+        else:
+            self.USER_bias = self.ITEM_bias = None
+            self.GLOBAL_bias = 0.0
+            self.use_bias = False
+        self._device_factors = None
+
     def _prepare_model_for_validation(self):
         self.USER_factors = np.asarray(self._state.U)
         self.ITEM_factors = np.asarray(self._state.V)
-        self.use_bias = False
+        self._export_biases(
+            (np.asarray(self._state.bU), np.asarray(self._state.bV),
+             float(self._state.bG[0])))
         self._invalidate_device_cache()
 
     def _update_best_model(self):
         if hasattr(self, "_state"):
             self.USER_factors_best = np.asarray(self._state.U)
             self.ITEM_factors_best = np.asarray(self._state.V)
+            self._bias_best = (
+                np.asarray(self._state.bU), np.asarray(self._state.bV),
+                float(self._state.bG[0]))
         else:
             self.USER_factors_best = self.USER_factors
             self.ITEM_factors_best = self.ITEM_factors
+            self._bias_best = None
 
 
 class MatrixFactorization_BPR(_MFSGDBase):
@@ -309,4 +342,3 @@ class MatrixFactorization_AsySVD(_MFSGDBase):
 
     RECOMMENDER_NAME = "MF_AsySVD_Recommender"
     ALGORITHM = "asy_svd"
-    USE_BIAS = True

@@ -46,9 +46,12 @@ def cells():
 
 
 def cell_name(ds, algo, mode, sim):
-    mode_tag = f"{mode}_" if mode else ""
-    sim_tag = f"{sim}_" if sim else ""
-    return f"{algo}_{mode_tag}{sim_tag}{ds}"
+    """Reference experiments/-layout dir name: RECOMMENDER_NAME + "_" +
+    mode + sim + "_" + dataset (RecSysExp.py:154 / cli/experiment.py:154)."""
+    from ganmf_tpu.cli.experiment import DICT_REC_CLASSES
+
+    rec_name = DICT_REC_CLASSES[algo].RECOMMENDER_NAME
+    return f"{rec_name}_{mode}{sim}_{ds}"
 
 
 def artifact(phase, ds, algo, mode, sim):

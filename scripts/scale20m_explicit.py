@@ -47,7 +47,7 @@ def main():
     )
     urm = reader.urm
     assert urm.data.min() >= 0.5 and urm.data.max() == 5.0, "explicit values lost"
-    splits = make_experiment_splits(urm, seed=1337)
+    splits = make_experiment_splits(urm, seed=1337, implicit=False)
     train, test = splits.train, splits.test
     print(f"explicit splits in {time.time()-t0:.1f}s: train nnz {train.nnz:,} "
           f"values {np.unique(train.data)[:4]}..{train.data.max()}", flush=True)
@@ -64,6 +64,9 @@ def main():
         out = json.load(open("SCALE20M.json"))
 
     def run(key, model, fit_kwargs):
+        if key in out and np.isfinite(out[key].get("RMSE", np.nan)):
+            print(f"{key}: cached row reused", flush=True)
+            return out[key]
         t0 = time.time()
         model.fit(**fit_kwargs)
         fit_s = time.time() - t0
@@ -95,10 +98,14 @@ def main():
     )
     assert np.isfinite(ials_row["RMSE"]), "IALS RMSE not finite"
 
+    # FunkSVD with the reference's use_bias=True default
+    # (MatrixFactorization_Cython.py:39): USER/ITEM/GLOBAL biases are
+    # learned and folded into the scoring factors, so the
+    # rating-prediction model must beat the predict-the-global-mean floor.
     funk_row = run(
         "FunkSVD_explicit", MatrixFactorization_FunkSVD(train),
-        dict(epochs=12, num_factors=64, learning_rate=2e-3, sgd_mode="adagrad",
-             batch_size=4096, urm_storage="csr"),
+        dict(epochs=16, num_factors=64, learning_rate=5e-3, sgd_mode="adagrad",
+             batch_size=4096, samples_per_epoch=train.nnz, urm_storage="csr"),
     )
     assert np.isfinite(funk_row["RMSE"]), "FunkSVD RMSE not finite"
     assert funk_row["RMSE"] < base_rmse, (

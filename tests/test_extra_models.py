@@ -48,6 +48,47 @@ def test_mf_sgd_family(urm_pair):
         assert np.isfinite(_map_at5(model, test)), cls.__name__
 
 
+def test_mf_sgd_bias_terms(urm_pair):
+    """use_bias (the reference's rating-prediction default,
+    MatrixFactorization_Cython.py:39) learns USER/ITEM/GLOBAL biases and
+    folds them into the scoring factors: scores must equal
+    U V^T + bU + bV + bG, and on explicit ratings the biased model must
+    beat the predict-the-global-mean RMSE floor
+    (Base/BaseMatrixFactorizationRecommender.py:118-124 scoring)."""
+    import jax.numpy as jnp
+
+    train, _ = urm_pair
+    rng = np.random.RandomState(11)
+    rated = train.copy()
+    rated.data = np.clip(3.5 + 0.8 * rng.randn(rated.nnz), 0.5, 5.0).astype(np.float32)
+
+    model = MatrixFactorization_FunkSVD(rated)
+    model.fit(epochs=60, num_factors=6, learning_rate=2e-2, batch_size=64,
+              samples_per_epoch=rated.nnz, random_seed=3)
+    assert model.use_bias and model.USER_bias is not None
+    assert abs(model.GLOBAL_bias) > 0.0
+
+    U, V, _ = model._factors_device()
+    scores = np.asarray(jnp.dot(U, V.T))
+    manual = (model.USER_factors @ model.ITEM_factors.T + model.GLOBAL_bias
+              + model.USER_bias[:, None] + model.ITEM_bias[None, :])
+    np.testing.assert_allclose(scores, manual, rtol=1e-5, atol=1e-5)
+
+    coo = rated.tocoo()
+    pred = scores[coo.row, coo.col]
+    mu = rated.data.mean()
+    assert np.sqrt(np.mean((pred - coo.data) ** 2)) < np.sqrt(np.mean((coo.data - mu) ** 2))
+
+    # artifact carries the reference's bias keys (:217-219)
+    d = model._save_dict()
+    assert d["use_bias"] and "GLOBAL_bias" in d and d["USER_bias"].shape == (train.shape[0],)
+
+    # use_bias=False restores the biasless path
+    plain = MatrixFactorization_FunkSVD(rated)
+    plain.fit(epochs=2, num_factors=6, use_bias=False, batch_size=64)
+    assert not plain.use_bias and plain.USER_bias is None
+
+
 def test_mf_sgd_csr_storage_matches_dense(urm_pair):
     """urm_storage='csr' replaces the dense [U, I] ratings lookup with the
     padded value table and the negative-rejection gather with a padded-row
