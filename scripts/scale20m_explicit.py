@@ -108,9 +108,15 @@ def main():
              batch_size=4096, samples_per_epoch=train.nnz, urm_storage="csr"),
     )
     assert np.isfinite(funk_row["RMSE"]), "FunkSVD RMSE not finite"
-    assert funk_row["RMSE"] < base_rmse, (
-        f"FunkSVD RMSE {funk_row['RMSE']:.4f} does not beat the global-mean "
-        f"baseline {base_rmse:.4f}")
+    # The stand-in's rating VALUES are drawn iid from a fixed half-star
+    # distribution (scripts/synthesize_ml20m.py) — no user/item rating
+    # structure exists, so the global mean is the Bayes-optimal held-out
+    # predictor and base_rmse is a floor no model can beat. The receipt
+    # bar is therefore matching that floor to within 1% (the biasless
+    # model read 3.67 — predictions stuck at zero).
+    assert funk_row["RMSE"] < base_rmse * 1.01, (
+        f"FunkSVD RMSE {funk_row['RMSE']:.4f} does not reach the global-mean "
+        f"Bayes floor {base_rmse:.4f} (within 1%)")
     print("explicit-at-scale receipt OK", flush=True)
 
 
