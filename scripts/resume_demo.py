@@ -43,7 +43,11 @@ def main():
     evals = int(args[args.index("--evals") + 1]) if "--evals" in args else 12
     kill_after = float(args[args.index("--kill-after") + 1]) if "--kill-after" in args else 45.0
 
-    cell = f"{algo}_{dataset}"
+    # reference experiments/-layout name (RecSysExp.py:154): RECOMMENDER_NAME
+    # + "_" + mode + sim + "_" + dataset
+    from ganmf_tpu.cli.experiment import DICT_REC_CLASSES
+
+    cell = f"{DICT_REC_CLASSES[algo].RECOMMENDER_NAME}__{dataset}"
     exp_dir = os.path.join(ROOT, "experiments", cell)
     ckpt = os.path.join(exp_dir, "checkpoint.pkl")
     if os.path.isdir(exp_dir):
